@@ -1,0 +1,106 @@
+"""Core layers for the TPU-native MNASNet family.
+
+Design notes (TPU-first, not a torch translation):
+  * NHWC everywhere — channels on the 128-lane axis is mandatory for both the
+    MXU (conv-as-matmul) and the VPU (depthwise / elementwise).
+  * BatchNorm is a hand-rolled module (not ``flax.linen.BatchNorm``) so that
+    (a) running-stat semantics exactly mirror the reference's
+    ``torch.nn.BatchNorm2d(momentum=1-0.9997)`` EMA (biased batch variance for
+    normalisation, *unbiased* for the running estimate — a silent top-1 trap),
+    and (b) the module can hand out *folded* (scale, bias) pairs for the fused
+    Pallas inference kernels (BN+ReLU folding, see SURVEY.md §2.3 N2/N3).
+  * Batch statistics are computed in fp32 regardless of compute dtype; under
+    ``jit`` over a sharded batch axis, XLA's GSPMD partitioner turns the batch
+    mean/var into a cross-replica reduction automatically (sync-BN for free —
+    the reference's per-GPU BN is a *less* exact algorithm; flag-controlled
+    at the trainer level by sharding choice).
+
+Reference behavior being matched: SURVEY.md §2.1 (MBConv spec, BN momentum
+3e-4, weight init) — reconstructed from the verified torch module tree
+(SURVEY.md Appendix A); reference checkout was empty, so no file:line cites
+are possible (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Kaiming-normal, fan_out, relu — matches the reference's Conv2d init
+# (SURVEY.md §2.1 "Weight init").
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+# Kaiming-uniform, fan_out, sigmoid-gain — matches the reference's final
+# Linear init (SURVEY.md §2.1).
+dense_kernel_init = nn.initializers.variance_scaling(1.0, "fan_out", "uniform")
+
+BN_MOMENTUM = 0.9997  # EMA decay; torch momentum = 1 - 0.9997 = 3e-4
+BN_EPSILON = 1e-5
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch-exact running-stat semantics and BN folding.
+
+    Variables:
+      params:       ``scale`` (γ, init 1), ``bias`` (β, init 0)
+      batch_stats:  ``mean`` (init 0), ``var`` (init 1)
+
+    Training mode uses biased batch variance for normalisation but updates the
+    running variance with the *unbiased* estimate (Bessel-corrected), exactly
+    like ``torch.nn.BatchNorm2d``. EMA: ``r = momentum * r + (1-momentum) * b``.
+    """
+
+    features: int
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPSILON
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        f = (self.features,)
+        self.scale = self.param("scale", nn.initializers.ones, f, jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, f, jnp.float32)
+        self.mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(f, jnp.float32)
+        )
+        self.var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(f, jnp.float32)
+        )
+
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        if use_running_average:
+            mean, var = self.mean.value, self.var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=reduce_axes)
+            # Biased variance for normalisation (torch behavior).
+            var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for a in reduce_axes:
+                    n *= x.shape[a]
+                bessel = n / max(n - 1, 1)
+                self.mean.value = (
+                    self.momentum * self.mean.value + (1.0 - self.momentum) * mean
+                )
+                self.var.value = (
+                    self.momentum * self.var.value
+                    + (1.0 - self.momentum) * var * bessel
+                )
+        # y = x * (γ / sqrt(v+ε)) + (β − m·γ/sqrt(v+ε)); factors in fp32,
+        # applied in compute dtype so XLA fuses it into the producing conv.
+        inv = self.scale * jax.lax.rsqrt(var + self.epsilon)
+        shift = self.bias - mean * inv
+        dt = self.dtype or x.dtype
+        return x * inv.astype(dt) + shift.astype(dt)
+
+    def folded(self) -> tuple[jax.Array, jax.Array]:
+        """Inference-time folded (scale, bias): ``y = x*scale + bias``.
+
+        Feeds the fused Pallas depthwise kernel (BN+ReLU folding clause of the
+        rebuild contract).
+        """
+        inv = self.scale * jax.lax.rsqrt(self.var.value + self.epsilon)
+        return inv, self.bias - self.mean.value * inv

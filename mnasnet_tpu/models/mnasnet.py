@@ -1,0 +1,242 @@
+"""MNASNet-B1 depth-multiplier family, TPU-native (Flax linen, NHWC).
+
+Architecture contract: SURVEY.md §2.1 — verified numerically against the
+published param/MAC grid (reference checkout was empty; the torch module tree
+in SURVEY.md Appendix A reproduces all published counts exactly and is the
+golden fixture in ``tests/torch_ref.py``).
+
+Macro-architecture (MnasNet-B1, input 224×224×3):
+  stem   Conv3x3 s2 → d0
+  sep    dw3x3 s1 + pw1x1 (linear) → d1
+  s1..s6 MBConv stacks: (k, s, expansion, repeats) =
+         (3,2,3,3) (5,2,3,3) (5,2,6,3) (3,1,6,2) (5,2,6,4) (3,1,6,1)
+         with out channels d2..d7
+  head   Conv1x1→1280, BN, ReLU; global mean; Dropout(0.2); Dense→classes
+
+MBConv: pw-expand → BN → ReLU → dw kxk (stride s) → BN → ReLU → pw-project →
+BN (linear bottleneck, no ReLU); residual iff in==out and stride==1. All convs
+bias-free; BN EMA decay 0.9997.
+
+TPU-first choices: NHWC layout, bf16 compute with fp32 params/stats, fused
+Pallas depthwise path for inference (BN+ReLU folding), pointwise convs left to
+XLA (they're MXU matmuls and dominate FLOPs — 87% of MACs, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mnasnet_tpu.models.layers import (
+    BatchNorm,
+    conv_kernel_init,
+    dense_kernel_init,
+    BN_MOMENTUM,
+    BN_EPSILON,
+)
+from mnasnet_tpu.ops.depthwise import (
+    depthwise_conv2d,
+    depthwise_conv_bn_relu_fused,
+)
+
+# Base (α=1.0) widths and MBConv stack spec: (kernel, stride, expansion, repeats).
+BASE_DEPTHS = (32, 16, 24, 40, 80, 96, 192, 320)
+STACKS = ((3, 2, 3, 3), (5, 2, 3, 3), (5, 2, 6, 3), (3, 1, 6, 2), (5, 2, 6, 4), (3, 1, 6, 1))
+
+
+def round_to_multiple_of(val: float, divisor: int = 8, round_up_bias: float = 0.9) -> int:
+    """Width rounding rule of the reference (SURVEY.md §2.1): round to the
+    nearest multiple of ``divisor`` but never go below ``round_up_bias``× the
+    requested value."""
+    new_val = max(divisor, int(val + divisor / 2) // divisor * divisor)
+    return new_val if new_val >= round_up_bias * val else new_val + divisor
+
+
+def get_depths(alpha: float) -> list[int]:
+    return [round_to_multiple_of(d * alpha, 8) for d in BASE_DEPTHS]
+
+
+class InvertedResidual(nn.Module):
+    """MBConv block (the reference's ``_InvertedResidual``)."""
+
+    in_ch: int
+    out_ch: int
+    kernel_size: int
+    stride: int
+    expansion: int
+    dtype: Any = jnp.float32
+    dw_impl: str = "auto"
+    precision: Any = None
+
+    def setup(self):
+        mid = self.in_ch * self.expansion
+        self.apply_residual = self.in_ch == self.out_ch and self.stride == 1
+        self.expand_conv = nn.Conv(
+            mid, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
+            dtype=self.dtype, precision=self.precision, name="expand_conv",
+        )
+        self.expand_bn = BatchNorm(mid, dtype=self.dtype, name="expand_bn")
+        self.dw_kernel = self.param(
+            "dw_kernel", conv_kernel_init,
+            (self.kernel_size, self.kernel_size, 1, mid), jnp.float32,
+        )
+        self.dw_bn = BatchNorm(mid, dtype=self.dtype, name="dw_bn")
+        self.project_conv = nn.Conv(
+            self.out_ch, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
+            dtype=self.dtype, precision=self.precision, name="project_conv",
+        )
+        self.project_bn = BatchNorm(self.out_ch, dtype=self.dtype, name="project_bn")
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = self.expand_conv(x)
+        y = nn.relu(self.expand_bn(y, use_running_average=not train))
+        if not train and self.dw_impl != "xla":
+            # Inference: fused dw-conv + folded-BN + ReLU (single Pallas kernel
+            # on TPU — the contract's centerpiece, SURVEY.md §2.3 N2/N3).
+            s, b = self.dw_bn.folded()
+            y = depthwise_conv_bn_relu_fused(
+                y, self.dw_kernel, s, b, stride=self.stride, impl=self.dw_impl,
+                precision=self.precision,
+            )
+        else:
+            y = depthwise_conv2d(
+                y, self.dw_kernel, stride=self.stride, impl=self.dw_impl,
+                precision=self.precision,
+            )
+            y = nn.relu(self.dw_bn(y, use_running_average=not train))
+        y = self.project_conv(y)
+        y = self.project_bn(y, use_running_average=not train)  # linear bottleneck
+        if self.apply_residual:
+            y = y + x
+        return y
+
+
+class MNASNet(nn.Module):
+    """MNASNet with depth multiplier ``alpha``.
+
+    Constructor signature mirrors the reference
+    (``MNASNet(alpha, num_classes=1000, dropout=0.2)``), plus TPU knobs.
+    """
+
+    alpha: float
+    num_classes: int = 1000
+    dropout: float = 0.2
+    dtype: Any = jnp.float32
+    dw_impl: str = "auto"
+    # lax precision for dense/pointwise convs; "highest" for exact-fp32 parity
+    # against the torch oracle (XLA's *default* conv precision is reduced even
+    # in fp32), None for the fast TPU default.
+    precision: Any = None
+
+    def setup(self):
+        d = get_depths(self.alpha)
+        self.depths = d
+        self.stem_conv = nn.Conv(
+            d[0], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+            use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype,
+            precision=self.precision, name="stem_conv",
+        )
+        self.stem_bn = BatchNorm(d[0], dtype=self.dtype, name="stem_bn")
+        self.sep_dw_kernel = self.param(
+            "sep_dw_kernel", conv_kernel_init, (3, 3, 1, d[0]), jnp.float32
+        )
+        self.sep_dw_bn = BatchNorm(d[0], dtype=self.dtype, name="sep_dw_bn")
+        self.sep_pw_conv = nn.Conv(
+            d[1], (1, 1), use_bias=False, kernel_init=conv_kernel_init,
+            dtype=self.dtype, precision=self.precision, name="sep_pw_conv",
+        )
+        self.sep_pw_bn = BatchNorm(d[1], dtype=self.dtype, name="sep_pw_bn")
+
+        blocks = []
+        in_ch = d[1]
+        for s, (k, stride, exp, repeats) in enumerate(STACKS):
+            out_ch = d[2 + s]
+            for j in range(repeats):
+                blocks.append(
+                    InvertedResidual(
+                        in_ch=in_ch,
+                        out_ch=out_ch,
+                        kernel_size=k,
+                        stride=stride if j == 0 else 1,
+                        expansion=exp,
+                        dtype=self.dtype,
+                        dw_impl=self.dw_impl,
+                        precision=self.precision,
+                        name=f"stage{s}_block{j}",
+                    )
+                )
+                in_ch = out_ch
+        self.blocks = blocks
+
+        self.head_conv = nn.Conv(
+            1280, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
+            dtype=self.dtype, precision=self.precision, name="head_conv",
+        )
+        self.head_bn = BatchNorm(1280, dtype=self.dtype, name="head_bn")
+        self.classifier = nn.Dense(
+            self.num_classes, kernel_init=dense_kernel_init,
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            precision=self.precision, name="classifier",
+        )
+        self.dropout_layer = nn.Dropout(self.dropout, name="dropout")
+
+    def features(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """Backbone up to the 1280-wide head feature map (pre-pool)."""
+        x = x.astype(self.dtype)
+        y = nn.relu(self.stem_bn(self.stem_conv(x), use_running_average=not train))
+        if not train and self.dw_impl != "xla":
+            s, b = self.sep_dw_bn.folded()
+            y = depthwise_conv_bn_relu_fused(
+                y, self.sep_dw_kernel, s, b, stride=1, impl=self.dw_impl,
+                precision=self.precision,
+            )
+        else:
+            y = depthwise_conv2d(y, self.sep_dw_kernel, stride=1, impl=self.dw_impl,
+                                 precision=self.precision)
+            y = nn.relu(self.sep_dw_bn(y, use_running_average=not train))
+        y = self.sep_pw_bn(self.sep_pw_conv(y), use_running_average=not train)
+        for block in self.blocks:
+            y = block(y, train=train)
+        y = nn.relu(self.head_bn(self.head_conv(y), use_running_average=not train))
+        return y
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = self.features(x, train=train)
+        y = jnp.mean(y, axis=(1, 2))  # global average pool over H, W
+        y = self.dropout_layer(y, deterministic=not train)
+        # Classify in fp32 — the 1280→classes matmul is 0.4% of MACs and the
+        # logits feed a softmax; keeping it fp32 costs nothing, guards top-1.
+        return self.classifier(y.astype(jnp.float32)).astype(jnp.float32)
+
+
+def _ctor(alpha: float):
+    def make(num_classes: int = 1000, dropout: float = 0.2, **kwargs) -> MNASNet:
+        return MNASNet(alpha=alpha, num_classes=num_classes, dropout=dropout, **kwargs)
+
+    make.__name__ = f"mnasnet{str(alpha).replace('.', '_')}"
+    make.__doc__ = f"MNASNet with depth multiplier {alpha} (reference ctor parity)."
+    return make
+
+
+mnasnet0_35 = _ctor(0.35)
+mnasnet0_5 = _ctor(0.5)
+mnasnet0_75 = _ctor(0.75)
+mnasnet1_0 = _ctor(1.0)
+mnasnet1_3 = _ctor(1.3)
+
+MODEL_REGISTRY = {
+    "mnasnet0_35": mnasnet0_35,
+    "mnasnet0_5": mnasnet0_5,
+    "mnasnet0_75": mnasnet0_75,
+    "mnasnet1_0": mnasnet1_0,
+    "mnasnet1_3": mnasnet1_3,
+}
+
+
+def create_model(name: str, **kwargs) -> MNASNet:
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"unknown arch {name!r}; choices: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](**kwargs)

@@ -1,0 +1,96 @@
+"""jit-compiled train / eval steps.
+
+One XLA program per step (SURVEY.md §3.5 "all intra-step boundaries collapse
+into one compiled program"). Data-parallelism is expressed by *sharding the
+batch* over the mesh at call sites (``parallel/``); because these functions
+are written as global-batch math, GSPMD inserts the gradient all-reduce (and
+makes BN stats global = sync-BN) automatically — the TPU-native equivalent of
+DDP's NCCL bucket hooks (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mnasnet_tpu.train.loss import cross_entropy, topk_correct
+from mnasnet_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_smoothing: float = 0.1,
+) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
+    """Returns train_step(state, images NHWC, labels) → (state, metrics).
+
+    Jit with ``donate_argnums=(0,)`` at the call site so the old state's HBM
+    is reused.
+    """
+
+    def train_step(state: TrainState, images: jax.Array, labels: jax.Array):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": step_rng},
+            )
+            loss = cross_entropy(logits, labels, label_smoothing)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            **topk_correct(logits, labels),
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, label_smoothing: float = 0.0):
+    """eval_step(variables, images, labels) → metrics (running-stats BN,
+    no dropout — the reference's ``validate()``, SURVEY.md §3.2)."""
+
+    def eval_step(params, batch_stats, images, labels):
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        return {
+            "loss": cross_entropy(logits, labels, label_smoothing),
+            **topk_correct(logits, labels),
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+
+    return eval_step
+
+
+def make_predict_fn(model):
+    """Pure inference: images → logits (the [B:configs[0]] single-image path
+    and the bench inference path)."""
+
+    def predict(params, batch_stats, images):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+
+    return predict

@@ -1,0 +1,74 @@
+"""Converter parity: Flax forward on converted torch weights matches torch
+forward ≤1e-4 fp32 (SURVEY.md §4.1b, [B:north_star] tolerance clause)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mnasnet_tpu import MNASNet
+from mnasnet_tpu.convert import flax_to_torch, torch_to_flax
+from tests.torch_ref import TorchMNASNet, randomize_bn_stats
+
+
+@pytest.mark.parametrize("alpha", [0.5, 1.0])
+def test_torch_to_flax_forward_parity(alpha):
+    torch.manual_seed(0)
+    tmodel = TorchMNASNet(alpha).eval()
+    randomize_bn_stats(tmodel)
+
+    variables = torch_to_flax(tmodel.state_dict(), alpha)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    x = np.random.default_rng(1).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    model = MNASNet(alpha=alpha, dw_impl="xla", precision="highest")
+    f_out = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    np.testing.assert_allclose(f_out, t_out, atol=1e-4, rtol=1e-4)
+
+
+def test_roundtrip_flax_torch_flax():
+    alpha = 0.5
+    torch.manual_seed(2)
+    tmodel = TorchMNASNet(alpha).eval()
+    randomize_bn_stats(tmodel, seed=3)
+    sd = tmodel.state_dict()
+
+    variables = torch_to_flax(sd, alpha)
+    back = flax_to_torch(variables, alpha)
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)
+
+
+def test_module_prefix_stripped():
+    alpha = 0.5
+    tmodel = TorchMNASNet(alpha).eval()
+    sd = {f"module.{k}": v for k, v in tmodel.state_dict().items()}
+    variables = torch_to_flax(sd, alpha)  # DataParallel-style checkpoint
+    assert "stem_conv" in variables["params"]
+
+
+def test_fused_inference_path_matches_unfused():
+    # dw_impl='auto' on CPU routes to XLA, but the fused folded-BN inference
+    # branch is exercised (train=False, dw_impl != 'xla').
+    alpha = 0.5
+    torch.manual_seed(4)
+    tmodel = TorchMNASNet(alpha).eval()
+    randomize_bn_stats(tmodel, seed=5)
+    variables = jax.tree.map(jnp.asarray, torch_to_flax(tmodel.state_dict(), alpha))
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    )
+    unfused = MNASNet(alpha=alpha, dw_impl="xla", precision="highest").apply(
+        variables, x, train=False
+    )
+    fused = MNASNet(alpha=alpha, dw_impl="auto", precision="highest").apply(
+        variables, x, train=False
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=1e-5)

@@ -1,0 +1,74 @@
+"""M0 golden-parity tests: Flax MNASNet vs published spec (SURVEY.md §4.1a,b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mnasnet_tpu import MNASNet, create_model, get_depths
+from tests.torch_ref import EXPECTED_PARAMS
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+@pytest.mark.parametrize("alpha", [0.35, 0.5, 0.75, 1.0, 1.3])
+def test_param_counts_exact(alpha):
+    model = MNASNet(alpha=alpha)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    assert n_params(variables["params"]) == EXPECTED_PARAMS[alpha]
+
+
+def test_depths_alpha_grid():
+    # Verified width grid from SURVEY.md §2.1.
+    assert get_depths(1.0) == [32, 16, 24, 40, 80, 96, 192, 320]
+    assert get_depths(0.5) == [16, 8, 16, 24, 40, 48, 96, 160]
+    assert get_depths(0.75) == [24, 16, 24, 32, 64, 72, 144, 240]
+    assert get_depths(1.3) == [40, 24, 32, 56, 104, 128, 248, 416]
+
+
+def test_forward_shapes_and_finite():
+    model = create_model("mnasnet1_0")
+    x = jnp.ones((2, 224, 224, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 1000)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_forward_small_resolution():
+    # Multiplier/resolution grid support (SURVEY.md §2.4: 96–224px free param).
+    model = MNASNet(alpha=0.35, num_classes=10)
+    x = jnp.ones((1, 96, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert model.apply(variables, x, train=False).shape == (1, 10)
+
+
+def test_train_mode_updates_batch_stats():
+    model = MNASNet(alpha=0.5)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables,
+        x,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    old = variables["batch_stats"]["stem_bn"]["mean"]
+    new = mutated["batch_stats"]["stem_bn"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_bf16_compute_dtype():
+    model = MNASNet(alpha=0.5, dtype=jnp.bfloat16)
+    x = jnp.ones((1, 64, 64, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    # Params stay fp32 (master copies); logits come back fp32.
+    assert variables["params"]["stem_conv"]["kernel"].dtype == jnp.float32
+    logits = model.apply(variables, x, train=False)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))

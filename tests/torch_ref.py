@@ -1,0 +1,101 @@
+"""Golden torch fixture: reconstruction of the reference MNASNet module tree.
+
+This is the SURVEY.md Appendix A reconstruction (torchvision-lineage
+architecture), numerically verified to reproduce every published param count
+and the paper MAC count exactly. It is the *oracle* the Flax model and
+converter are tested against (SURVEY.md §4.1). Runs on CPU torch only.
+"""
+
+import torch
+import torch.nn as nn
+
+_BN_MOMENTUM = 1 - 0.9997
+
+
+class _InvertedResidual(nn.Module):
+    def __init__(self, in_ch, out_ch, kernel_size, stride, expansion_factor,
+                 bn_momentum=0.1):
+        super().__init__()
+        mid_ch = in_ch * expansion_factor
+        self.apply_residual = in_ch == out_ch and stride == 1
+        self.layers = nn.Sequential(
+            nn.Conv2d(in_ch, mid_ch, 1, bias=False),
+            nn.BatchNorm2d(mid_ch, momentum=bn_momentum),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(mid_ch, mid_ch, kernel_size, padding=kernel_size // 2,
+                      stride=stride, groups=mid_ch, bias=False),
+            nn.BatchNorm2d(mid_ch, momentum=bn_momentum),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(mid_ch, out_ch, 1, bias=False),
+            nn.BatchNorm2d(out_ch, momentum=bn_momentum),
+        )
+
+    def forward(self, x):
+        return self.layers(x) + x if self.apply_residual else self.layers(x)
+
+
+def _stack(in_ch, out_ch, kernel_size, stride, exp_factor, repeats, bn_momentum):
+    first = _InvertedResidual(in_ch, out_ch, kernel_size, stride, exp_factor,
+                              bn_momentum=bn_momentum)
+    rest = [_InvertedResidual(out_ch, out_ch, kernel_size, 1, exp_factor,
+                              bn_momentum=bn_momentum) for _ in range(1, repeats)]
+    return nn.Sequential(first, *rest)
+
+
+def _round_to_multiple_of(val, divisor, round_up_bias=0.9):
+    new_val = max(divisor, int(val + divisor / 2) // divisor * divisor)
+    return new_val if new_val >= round_up_bias * val else new_val + divisor
+
+
+def _get_depths(alpha):
+    return [_round_to_multiple_of(d * alpha, 8)
+            for d in [32, 16, 24, 40, 80, 96, 192, 320]]
+
+
+class TorchMNASNet(nn.Module):
+    def __init__(self, alpha, num_classes=1000, dropout=0.2):
+        super().__init__()
+        d = _get_depths(alpha)
+        self.layers = nn.Sequential(
+            nn.Conv2d(3, d[0], 3, padding=1, stride=2, bias=False),
+            nn.BatchNorm2d(d[0], momentum=_BN_MOMENTUM),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(d[0], d[0], 3, padding=1, stride=1, groups=d[0], bias=False),
+            nn.BatchNorm2d(d[0], momentum=_BN_MOMENTUM),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(d[0], d[1], 1, padding=0, stride=1, bias=False),
+            nn.BatchNorm2d(d[1], momentum=_BN_MOMENTUM),
+            _stack(d[1], d[2], 3, 2, 3, 3, _BN_MOMENTUM),
+            _stack(d[2], d[3], 5, 2, 3, 3, _BN_MOMENTUM),
+            _stack(d[3], d[4], 5, 2, 6, 3, _BN_MOMENTUM),
+            _stack(d[4], d[5], 3, 1, 6, 2, _BN_MOMENTUM),
+            _stack(d[5], d[6], 5, 2, 6, 4, _BN_MOMENTUM),
+            _stack(d[6], d[7], 3, 1, 6, 1, _BN_MOMENTUM),
+            nn.Conv2d(d[7], 1280, 1, padding=0, stride=1, bias=False),
+            nn.BatchNorm2d(1280, momentum=_BN_MOMENTUM),
+            nn.ReLU(inplace=True),
+        )
+        self.classifier = nn.Sequential(nn.Dropout(p=dropout, inplace=True),
+                                        nn.Linear(1280, num_classes))
+
+    def forward(self, x):
+        return self.classifier(self.layers(x).mean([2, 3]))
+
+
+EXPECTED_PARAMS = {
+    0.35: 1_788_232,
+    0.5: 2_218_512,
+    0.75: 3_170_208,
+    1.0: 4_383_312,
+    1.3: 6_282_256,
+}
+
+
+def randomize_bn_stats(model: nn.Module, seed: int = 0) -> None:
+    """Give running stats non-trivial values so eval-mode parity tests
+    actually exercise the running-average path."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) * 2 + 0.5)
