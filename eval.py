@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI — the reference's ``--evaluate`` path plus the
+[B:configs[0]] single-image flow: converted PyTorch weights + torchvision-
+equivalent val preprocessing.
+
+    python eval.py DATA_DIR --arch mnasnet1_0 --pretrained w.pth
+    python eval.py --image cat.jpg --arch mnasnet1_0 --pretrained w.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="MNASNet TPU evaluation")
+    p.add_argument("data", nargs="?", default=None)
+    p.add_argument("--arch", default="mnasnet1_0")
+    p.add_argument("--pretrained", required=False, default="")
+    p.add_argument("--resume", default="", help="orbax checkpoint dir")
+    p.add_argument("--image", default="", help="classify a single image")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("-b", "--batch-size", type=int, default=256)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--fused-kernels", choices=["auto", "pallas", "xla"],
+                   default="auto")
+    p.add_argument("--topk", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mnasnet_tpu import create_model
+    from mnasnet_tpu.convert.torch_converter import torch_to_flax
+    from mnasnet_tpu.data.transforms import eval_transform
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model(args.arch, dtype=dtype, dw_impl=args.fused_kernels)
+
+    if args.pretrained:
+        import torch
+
+        ckpt = torch.load(args.pretrained, map_location="cpu", weights_only=True)
+        sd = ckpt.get("state_dict", ckpt)
+        variables = jax.tree.map(jnp.asarray, torch_to_flax(sd, model.alpha))
+    elif args.resume:
+        from mnasnet_tpu.train.checkpoint import CheckpointManager
+        from mnasnet_tpu.train.optim import create_optimizer
+        from mnasnet_tpu.train.trainer import Trainer
+        import os
+
+        tx = create_optimizer("sgd", 0.0)
+        trainer = Trainer(model, tx, compute_dtype=dtype)
+        state = trainer.create_state(jax.random.PRNGKey(0), args.image_size)
+        state, _, _ = CheckpointManager(os.path.abspath(args.resume)).restore(state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        raise SystemExit("need --pretrained or --resume")
+
+    if args.image:
+        from PIL import Image
+
+        x = eval_transform(Image.open(args.image), args.image_size)
+        logits = model.apply(variables, jnp.asarray(x)[None], train=False)
+        probs = jax.nn.softmax(logits, axis=-1)[0]
+        top = np.argsort(np.asarray(probs))[::-1][: args.topk]
+        for i in top:
+            print(f"class {int(i)}: {float(probs[i]):.4f}")
+        return
+
+    if not args.data:
+        raise SystemExit("DATA_DIR or --image required")
+
+    import os
+
+    from mnasnet_tpu.data.dataset import ImageFolderDataset
+    from mnasnet_tpu.data.pipeline import DataLoader
+    from mnasnet_tpu.train.optim import create_optimizer
+    from mnasnet_tpu.train.trainer import Trainer
+    from mnasnet_tpu.train.state import TrainState
+
+    val_root = os.path.join(args.data, "val")
+    ds = ImageFolderDataset(val_root if os.path.isdir(val_root) else args.data)
+    loader = DataLoader(
+        ds, args.batch_size // jax.process_count(),
+        lambda img: eval_transform(img, args.image_size),
+        shuffle=False, drop_last=False, workers=args.workers,
+        shard_id=jax.process_index(), num_shards=jax.process_count(),
+        augment=False,
+    )
+    tx = create_optimizer("sgd", 0.0)
+    trainer = Trainer(model, tx, compute_dtype=dtype)
+    state = TrainState.create(
+        jax.tree.map(jnp.asarray, variables["params"]),
+        jax.tree.map(jnp.asarray, variables["batch_stats"]),
+        tx, jax.random.PRNGKey(0),
+    )
+    trainer.validate(state, loader)
+
+
+if __name__ == "__main__":
+    main()

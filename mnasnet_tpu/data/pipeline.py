@@ -1,0 +1,195 @@
+"""Host input pipeline: decode/augment workers + double-buffered device
+prefetch — the TPU-native replacement for torch's DataLoader core
+(SURVEY.md §2.3 N8).
+
+The reference overlaps JPEG decode with GPU compute via worker *processes*,
+shared-memory tensor transport and a pin-memory thread. On TPU hosts the
+equivalent overlap is:
+
+  * a thread pool decoding/augmenting ahead of the step (PIL releases the GIL
+    in libjpeg decode, and the device step itself releases the GIL while XLA
+    runs, so threads — not processes — give the overlap without shm/pickle
+    transport costs on this single-socket host);
+  * batches assembled into fixed-shape NHWC float32 arrays (static shapes —
+    an XLA requirement the torch stack never had to think about);
+  * ``prefetch_to_device``: a depth-2 queue of batches already transferred
+    (``jax.device_put``) so the H2D copy of batch N+1 rides under the compute
+    of batch N — the pinned-DMA double-buffering equivalent.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from mnasnet_tpu.data.dataset import shard_indices
+
+
+class DataLoader:
+    """Iterates (images NHWC fp32, labels int32) host batches for one epoch.
+
+    transform(img: PIL, rng) → HWC float32; rng is derived per (seed, epoch,
+    index) so augmentation is reproducible regardless of worker scheduling
+    (SURVEY.md §2.3 N10, §5.2 --deterministic).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        transform: Callable,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        workers: int = 4,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        augment: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.transform = transform
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.workers = workers
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.augment = augment
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset)
+        per_shard = (
+            (n // self.num_shards)
+            if self.drop_last
+            else -(-n // self.num_shards)
+        )
+        return (
+            per_shard // self.batch_size
+            if self.drop_last
+            else -(-per_shard // self.batch_size)
+        )
+
+    def _load_one(self, epoch: int, index: int):
+        img, label = self.dataset.load(int(index))
+        if self.augment:
+            rng = np.random.default_rng((self.seed, epoch, int(index)))
+            arr = self.transform(img, rng)
+        else:
+            arr = self.transform(img)
+        return arr, label
+
+    def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        indices = shard_indices(
+            len(self.dataset),
+            epoch,
+            shuffle=self.shuffle,
+            seed=self.seed,
+            shard_id=self.shard_id,
+            num_shards=self.num_shards,
+            drop_last=self.drop_last,
+        )
+        bs = self.batch_size
+        n_full = len(indices) // bs
+        ends = n_full * bs
+        batches = [indices[i * bs:(i + 1) * bs] for i in range(n_full)]
+        n_valid_tail = None
+        if not self.drop_last and ends < len(indices):
+            # Pad the tail batch by wrapping — static shapes for XLA. Padded
+            # positions get label −1 at collate time; the loss/metrics mask
+            # them out, so eval accuracy is exact.
+            tail = indices[ends:]
+            n_valid_tail = len(tail)
+            pad = np.resize(indices[: max(1, ends)] if ends else tail, bs - len(tail))
+            batches.append(np.concatenate([tail, pad]))
+
+        last = len(batches) - 1
+
+        def valid(bi: int) -> Optional[int]:
+            return n_valid_tail if bi == last and n_valid_tail is not None else None
+
+        if self.workers <= 0:
+            for bi, batch_idx in enumerate(batches):
+                pairs = [self._load_one(epoch, i) for i in batch_idx]
+                yield self._collate(pairs, valid(bi))
+            return
+
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            # Pipeline two batches ahead of the consumer.
+            pending = []
+            it = iter(enumerate(batches))
+            for _ in range(2):
+                nb = next(it, None)
+                if nb is not None:
+                    pending.append(
+                        (nb[0], [pool.submit(self._load_one, epoch, i) for i in nb[1]])
+                    )
+            while pending:
+                bi, futs = pending.pop(0)
+                nb = next(it, None)
+                if nb is not None:
+                    pending.append(
+                        (nb[0], [pool.submit(self._load_one, epoch, i) for i in nb[1]])
+                    )
+                yield self._collate([f.result() for f in futs], valid(bi))
+
+    @staticmethod
+    def _collate(pairs, n_valid: Optional[int] = None) -> tuple[np.ndarray, np.ndarray]:
+        images = np.stack([p[0] for p in pairs]).astype(np.float32)
+        labels = np.asarray([p[1] for p in pairs], dtype=np.int32)
+        if n_valid is not None:
+            labels[n_valid:] = -1  # padding sentinel, masked by loss/metrics
+        return images, labels
+
+
+def prefetch_to_device(
+    iterator: Iterator,
+    *,
+    size: int = 2,
+    sharding=None,
+    dtype=None,
+) -> Iterator:
+    """Wrap a host-batch iterator so device transfer overlaps compute.
+
+    A daemon thread pulls host batches, casts images to ``dtype`` (bf16 cast
+    on host halves H2D bytes), issues ``jax.device_put`` (async on TPU), and
+    keeps ``size`` in-flight — the double-buffered pinned-DMA equivalent
+    (SURVEY.md §2.3 N8). ``sharding`` may be a single sharding or a tuple
+    (images_sharding, labels_sharding) for sharded placement.
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def put(batch):
+        images, labels = batch
+        if dtype is not None:
+            images = images.astype(dtype)
+        if sharding is None:
+            return jax.device_put((images, labels))
+        if isinstance(sharding, tuple):
+            return (
+                jax.device_put(images, sharding[0]),
+                jax.device_put(labels, sharding[1]),
+            )
+        return jax.device_put((images, labels), sharding)
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -75,8 +75,13 @@ class BatchNorm(nn.Module):
             x32 = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x32, axis=reduce_axes)
-            # Biased variance for normalisation (torch behavior).
-            var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+            # Biased variance for normalisation (torch behavior). Two-pass
+            # E[(x−m)²], NOT E[x²]−E[x]²: the one-pass form cancels
+            # catastrophically when m² ≫ var and the error is amplified
+            # through the rsqrt gradient (measured 5e-2 cross-mesh grad
+            # divergence on the virtual 8-device mesh; two-pass restores
+            # exact DDP equivalence to ~1e-6).
+            var = jnp.mean(jnp.square(x32 - mean), axis=reduce_axes)
             if not self.is_initializing():
                 n = 1
                 for a in reduce_axes:

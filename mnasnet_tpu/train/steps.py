@@ -51,11 +51,7 @@ def make_train_step(
         )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "loss": loss,
-            **topk_correct(logits, labels),
-            "count": jnp.asarray(labels.shape[0], jnp.int32),
-        }
+        metrics = {"loss": loss, **topk_correct(logits, labels)}
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -78,7 +74,6 @@ def make_eval_step(model, label_smoothing: float = 0.0):
         return {
             "loss": cross_entropy(logits, labels, label_smoothing),
             **topk_correct(logits, labels),
-            "count": jnp.asarray(labels.shape[0], jnp.int32),
         }
 
     return eval_step

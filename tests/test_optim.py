@@ -1,0 +1,108 @@
+"""Optimizer semantics tests (SURVEY.md §7 hard-part 3: TF-vs-torch RMSProp
+and wd-masking are silent top-1 traps)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from mnasnet_tpu.train.optim import create_optimizer, rmsprop_tf, sgd
+
+
+def tree_close(a, b, atol=1e-6):
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(x, y, atol=atol), a, b)
+
+
+def test_sgd_matches_torch():
+    # Coupled wd + momentum: must track torch.optim.SGD exactly on 'kernel'
+    # params (wd applies) over several steps.
+    w0 = np.random.default_rng(0).standard_normal((4, 3)).astype(np.float32)
+    params = {"dense": {"kernel": jnp.asarray(w0)}}
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    topt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, weight_decay=1e-2)
+
+    tx = sgd(0.1, momentum=0.9, weight_decay=1e-2)
+    opt_state = tx.init(params)
+    for step in range(5):
+        g = np.random.default_rng(step + 1).standard_normal((4, 3)).astype(np.float32)
+        grads = {"dense": {"kernel": jnp.asarray(g)}}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    np.testing.assert_allclose(
+        np.asarray(params["dense"]["kernel"]), tw.detach().numpy(), atol=1e-6
+    )
+
+
+def test_sgd_wd_skips_bn_and_bias():
+    params = {
+        "conv": {"kernel": jnp.ones((2, 2))},
+        "bn": {"scale": jnp.ones((2,)), "bias": jnp.ones((2,))},
+        "dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+    }
+    tx = sgd(1.0, momentum=0.0, weight_decay=0.5)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, tx.init(params), params)
+    # wd applies to kernels only: update = -lr * wd * p = -0.5
+    assert np.allclose(updates["conv"]["kernel"], -0.5)
+    assert np.allclose(updates["dense"]["kernel"], -0.5)
+    assert np.allclose(updates["bn"]["scale"], 0.0)
+    assert np.allclose(updates["bn"]["bias"], 0.0)
+    assert np.allclose(updates["dense"]["bias"], 0.0)
+
+
+def test_rmsprop_tf_semantics():
+    # Hand-rolled TF1 RMSProp reference: eps INSIDE the sqrt.
+    decay, momentum, eps, lr = 0.9, 0.9, 1e-3, 0.01
+    w = np.full((3,), 0.5, np.float32)
+    ms = np.zeros_like(w)
+    mom = np.zeros_like(w)
+
+    params = {"k": {"kernel": jnp.asarray(w.copy())}}
+    tx = rmsprop_tf(lr, decay=decay, momentum=momentum, eps=eps, weight_decay=0.0)
+    st = tx.init(params)
+
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        g = rng.standard_normal(3).astype(np.float32)
+        ms = decay * ms + (1 - decay) * g * g
+        mom = momentum * mom + lr * g / np.sqrt(ms + eps)
+        w = w - mom
+
+        updates, st = tx.update({"k": {"kernel": jnp.asarray(g)}}, st, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["k"]["kernel"]), w, atol=1e-6)
+
+
+def test_rmsprop_differs_from_torch_eps_outside():
+    # Guard: TF semantics must NOT match torch's eps-outside variant.
+    lr, decay, momentum, eps = 0.01, 0.9, 0.9, 1e-3
+    g = np.full((3,), 0.3, np.float32)
+    w0 = np.zeros((3,), np.float32)
+
+    params = {"k": {"kernel": jnp.asarray(w0.copy())}}
+    tx = rmsprop_tf(lr, decay=decay, momentum=momentum, eps=eps, weight_decay=0.0)
+    st = tx.init(params)
+    updates, st = tx.update({"k": {"kernel": jnp.asarray(g)}}, st, params)
+    ours = np.asarray(updates["k"]["kernel"])
+
+    ms = (1 - decay) * g * g
+    torch_style = -lr * g / (np.sqrt(ms) + eps)
+    tf_style = -lr * g / np.sqrt(ms + eps)
+    np.testing.assert_allclose(ours, tf_style, atol=1e-7)
+    assert not np.allclose(ours, torch_style, atol=1e-5)
+
+
+def test_create_optimizer_names():
+    import pytest
+
+    create_optimizer("sgd", 0.1)
+    create_optimizer("rmsprop", 0.1)
+    with pytest.raises(ValueError):
+        create_optimizer("adamw", 0.1)

@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""ImageNet training CLI — the reference's ``train.py`` surface (SURVEY.md
+§5.6 canonical flag set) on the TPU-native stack.
+
+Usage (real data):
+    python train.py DATA_DIR --arch mnasnet1_0 --batch-size 256 ...
+Usage (no dataset in env):
+    python train.py --synthetic --arch mnasnet0_5 --image-size 64 ...
+
+The reference's multiprocessing-distributed flags collapse into nothing here:
+the device mesh covers all local chips automatically, and multi-host runs
+initialize via ``jax.distributed.initialize()`` (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="MNASNet TPU ImageNet training")
+    p.add_argument("data", nargs="?", default=None,
+                   help="path to dataset root (train/ and val/ subdirs)")
+    p.add_argument("--arch", default="mnasnet1_0",
+                   help="model architecture (mnasnet0_35/0_5/0_75/1_0/1_3)")
+    p.add_argument("--workers", type=int, default=4,
+                   help="data loading worker threads")
+    p.add_argument("--epochs", type=int, default=90)
+    p.add_argument("--start-epoch", type=int, default=0)
+    p.add_argument("-b", "--batch-size", type=int, default=256,
+                   help="global batch size across all devices")
+    p.add_argument("--lr", "--learning-rate", type=float, default=None,
+                   dest="lr", help="base LR (default: optimizer-specific)")
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", "--weight-decay", type=float, default=1e-5,
+                   dest="weight_decay")
+    p.add_argument("-p", "--print-freq", type=int, default=10)
+    p.add_argument("--resume", default="", help="resume from checkpoint dir")
+    p.add_argument("-e", "--evaluate", action="store_true")
+    p.add_argument("--pretrained", default="",
+                   help="path to a converted-or-torch checkpoint to load")
+    p.add_argument("--seed", type=int, default=None)
+    # --- recipe knobs implied by the rebuild contract [B:north_star] ---
+    p.add_argument("--optimizer", choices=["sgd", "rmsprop"], default="rmsprop")
+    p.add_argument("--lr-schedule", choices=["step", "cosine", "exp", "constant"],
+                   default="step")
+    p.add_argument("--warmup-epochs", type=float, default=0.0)
+    p.add_argument("--label-smoothing", type=float, default=0.1)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--fused-kernels", choices=["auto", "pallas", "xla"],
+                   default="auto", help="depthwise conv implementation")
+    p.add_argument("--output-dir", default="./checkpoints")
+    p.add_argument("--sync-bn", action="store_true", default=True,
+                   help="global BN stats across devices (GSPMD default)")
+    p.add_argument("--deterministic", action="store_true",
+                   help="fixed seeds + drop_last for bit-reproducible runs")
+    # --- env-specific ---
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic FakeData (no dataset required)")
+    p.add_argument("--synthetic-size", type=int, default=1024,
+                   help="samples per synthetic epoch")
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--profile-steps", default="",
+                   help="N:M — jax.profiler trace of train steps N..M (epoch 0)")
+    p.add_argument("--tensorboard", default="",
+                   help="TensorBoard log dir (empty = off)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.seed is None and args.deterministic:
+        args.seed = 0
+    seed = args.seed if args.seed is not None else int(time.time()) % (2**31)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mnasnet_tpu import create_model
+    from mnasnet_tpu.data.dataset import ImageFolderDataset, SyntheticDataset
+    from mnasnet_tpu.data.pipeline import DataLoader
+    from mnasnet_tpu.data.transforms import eval_transform, train_transform
+    from mnasnet_tpu.parallel.mesh import make_mesh
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+    from mnasnet_tpu.train.optim import create_optimizer
+    from mnasnet_tpu.train.schedules import make_schedule, scale_lr_for_batch
+    from mnasnet_tpu.train.trainer import Trainer
+
+    if jax.process_count() > 1:
+        # Multi-host: per-host data sharding (SURVEY.md §2.6).
+        pass  # jax.distributed.initialize() must be called by the launcher
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model(
+        args.arch,
+        num_classes=args.num_classes,
+        dtype=dtype,
+        dw_impl=args.fused_kernels,
+    )
+
+    # ---- data -------------------------------------------------------------
+    shard_id, num_shards = jax.process_index(), jax.process_count()
+    if args.synthetic:
+        train_ds = SyntheticDataset(args.synthetic_size, args.image_size,
+                                    args.num_classes, seed=seed)
+        val_ds = SyntheticDataset(max(args.synthetic_size // 4, args.batch_size),
+                                  args.image_size, args.num_classes, seed=seed + 1)
+    else:
+        if not args.data:
+            raise SystemExit("DATA_DIR required unless --synthetic")
+        train_ds = ImageFolderDataset(os.path.join(args.data, "train"))
+        val_ds = ImageFolderDataset(os.path.join(args.data, "val"))
+
+    host_batch = args.batch_size // num_shards
+    train_loader = DataLoader(
+        train_ds, host_batch,
+        lambda img, rng: train_transform(img, args.image_size, rng),
+        shuffle=True, drop_last=True, seed=seed, workers=args.workers,
+        shard_id=shard_id, num_shards=num_shards,
+    )
+    val_loader = DataLoader(
+        val_ds, host_batch,
+        lambda img: eval_transform(img, args.image_size),
+        shuffle=False, drop_last=False, seed=seed, workers=args.workers,
+        shard_id=shard_id, num_shards=num_shards, augment=False,
+    )
+
+    # ---- optimizer + schedule --------------------------------------------
+    steps_per_epoch = train_loader.steps_per_epoch()
+    base_lr = args.lr
+    if base_lr is None:
+        base_lr = 0.1 if args.optimizer == "sgd" else 0.016
+    base_lr = scale_lr_for_batch(base_lr, args.batch_size)
+    schedule = make_schedule(
+        args.lr_schedule, base_lr, steps_per_epoch, args.epochs,
+        warmup_epochs=args.warmup_epochs,
+    )
+    tx = create_optimizer(
+        args.optimizer, schedule,
+        momentum=args.momentum, weight_decay=args.weight_decay,
+    )
+
+    writer = None
+    if args.tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(args.tensorboard)
+
+    step_tracer = None
+    if args.profile_steps:
+        from mnasnet_tpu.utils.profiling import StepTracer, parse_profile_steps
+
+        lo, hi = parse_profile_steps(args.profile_steps)
+        step_tracer = StepTracer(
+            os.path.join(args.output_dir, "profile"), lo, hi
+        )
+
+    mesh = make_mesh()
+    trainer = Trainer(
+        model, tx, mesh=mesh, label_smoothing=args.label_smoothing,
+        compute_dtype=dtype, schedule=schedule, print_freq=args.print_freq,
+        writer=writer, step_tracer=step_tracer,
+    )
+    state = trainer.create_state(jax.random.PRNGKey(seed), args.image_size)
+
+    if args.pretrained:
+        import jax.numpy as jnp_
+        from mnasnet_tpu.convert.torch_converter import torch_to_flax
+        from mnasnet_tpu.models.mnasnet import MODEL_REGISTRY
+
+        alpha = model.alpha
+        if args.pretrained.endswith((".pth", ".pth.tar", ".pt")):
+            import torch
+
+            ckpt = torch.load(args.pretrained, map_location="cpu",
+                              weights_only=True)
+            sd = ckpt.get("state_dict", ckpt)
+            variables = torch_to_flax(sd, alpha)
+        else:
+            raise SystemExit(f"unsupported pretrained format: {args.pretrained}")
+        state = state.replace(
+            params=jax.tree.map(jnp_.asarray, variables["params"]),
+            batch_stats=jax.tree.map(jnp_.asarray, variables["batch_stats"]),
+        )
+        print(f"=> loaded pretrained weights from {args.pretrained}")
+
+    mgr = CheckpointManager(os.path.abspath(args.output_dir))
+    best_acc1, start_epoch = 0.0, args.start_epoch
+    if args.resume:
+        rmgr = (mgr if os.path.abspath(args.resume) == os.path.abspath(args.output_dir)
+                else CheckpointManager(os.path.abspath(args.resume)))
+        state, start_epoch, best_acc1 = rmgr.restore(state)
+        print(f"=> resumed from epoch {start_epoch - 1} (best acc1 {best_acc1:.3f})")
+
+    if args.evaluate:
+        trainer.validate(state, val_loader)
+        return
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.perf_counter()
+        state = trainer.train_epoch(state, train_loader, epoch)
+        acc1, acc5, _ = trainer.validate(state, val_loader)
+        is_best = acc1 > best_acc1
+        best_acc1 = max(acc1, best_acc1)
+        if jax.process_index() == 0:
+            mgr.save(epoch, state, acc1, best_acc1)
+            print(
+                f"epoch {epoch}: acc1={acc1:.3f} acc5={acc5:.3f} "
+                f"best={best_acc1:.3f}{' *' if is_best else ''} "
+                f"({time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+    mgr.wait()
+    if step_tracer is not None:
+        step_tracer.close()
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()
