@@ -53,6 +53,15 @@ class ImageFolderDataset:
         with Image.open(path) as img:
             return img.convert("RGB"), label
 
+    def load_bytes(self, index: int):
+        """(raw JPEG bytes | None, label) — bytes for the native fused
+        decoder path (data/native_decoder.py); None for non-JPEG files."""
+        path, label = self.samples[index]
+        if path.lower().endswith((".jpg", ".jpeg")):
+            with open(path, "rb") as f:
+                return f.read(), label
+        return None, label
+
 
 class SyntheticDataset:
     """Deterministic random-image dataset (index-seeded, so every worker and

@@ -1,0 +1,147 @@
+"""ctypes bindings for the native fused JPEG decoder (native/fused_decoder.cpp).
+
+The C++ library is built on first use with g++ (pybind11 is not in this
+environment — ctypes keeps the binding dependency-free). Falls back cleanly:
+callers should catch ``NativeDecoderUnavailable`` and use the PIL transforms.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from mnasnet_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    random_resized_crop_params,
+)
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "fused_decoder.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libfuseddec.so")
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeDecoderUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        _SRC, "-o", _LIB, "-ljpeg",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise NativeDecoderUnavailable(
+            f"g++ build failed:\n{proc.stderr[-2000:]}"
+        )
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        ):
+            if not os.path.exists(_SRC):
+                raise NativeDecoderUnavailable(f"source missing: {_SRC}")
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int)
+        lib.jpeg_dims.argtypes = [u8p, ctypes.c_size_t, i32p, i32p]
+        lib.jpeg_dims.restype = ctypes.c_int
+        lib.fused_decode_eval.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, ctypes.c_int, f32p,
+        ]
+        lib.fused_decode_eval.restype = ctypes.c_int
+        lib.fused_decode_train.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, f32p, f32p, ctypes.c_int, f32p,
+        ]
+        lib.fused_decode_train.restype = ctypes.c_int
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeDecoderUnavailable:
+        return False
+
+
+_MEAN = np.ascontiguousarray(IMAGENET_MEAN, np.float32)
+_STD = np.ascontiguousarray(IMAGENET_STD, np.float32)
+
+
+def _u8(buf: bytes):
+    arr = np.frombuffer(buf, np.uint8)
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), arr.size
+
+
+def jpeg_dims(jpeg: bytes) -> tuple[int, int]:
+    lib = _load()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p, n = _u8(jpeg)
+    if lib.jpeg_dims(p, n, ctypes.byref(w), ctypes.byref(h)) != 0:
+        raise ValueError("corrupt JPEG")
+    return w.value, h.value
+
+
+def decode_eval(jpeg: bytes, size: int = 224, resize_size: int | None = None,
+                fast: bool = True) -> np.ndarray:
+    """Fused val pipeline: decode → Resize(shorter) → CenterCrop →
+    normalize. Returns (size, size, 3) float32 HWC."""
+    if resize_size is None:
+        resize_size = int(round(size * 256 / 224))
+    lib = _load()
+    out = np.empty((size, size, 3), np.float32)
+    p, n = _u8(jpeg)
+    rc = lib.fused_decode_eval(
+        p, n, size, resize_size,
+        _MEAN.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _STD.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1 if fast else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc == -2:
+        raise ValueError("image smaller than crop (pad path unsupported)")
+    if rc != 0:
+        raise ValueError("corrupt JPEG")
+    return out
+
+
+def decode_train(jpeg: bytes, size: int, rng: np.random.Generator,
+                 fast: bool = True) -> np.ndarray:
+    """Fused train pipeline: decode → RandomResizedCrop (params sampled with
+    the SAME algorithm/rng stream as the PIL path) → flip → normalize."""
+    lib = _load()
+    w, h = jpeg_dims(jpeg)
+    top, left, ch, cw = random_resized_crop_params(rng, w, h)
+    flip = 1 if rng.random() < 0.5 else 0
+    out = np.empty((size, size, 3), np.float32)
+    p, n = _u8(jpeg)
+    rc = lib.fused_decode_train(
+        p, n, size, top, left, ch, cw, flip,
+        _MEAN.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _STD.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1 if fast else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise ValueError("corrupt JPEG")
+    return out

@@ -51,6 +51,7 @@ class DataLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         augment: bool = True,
+        bytes_transform: Optional[Callable] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -62,6 +63,10 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.augment = augment
+        # Optional native fused-decoder path: called with (jpeg_bytes[, rng])
+        # when the dataset exposes raw JPEG bytes; falls back to the PIL
+        # ``transform`` per sample otherwise (mixed datasets work).
+        self.bytes_transform = bytes_transform
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)
@@ -77,9 +82,17 @@ class DataLoader:
         )
 
     def _load_one(self, epoch: int, index: int):
-        img, label = self.dataset.load(int(index))
+        index = int(index)
+        if self.bytes_transform is not None and hasattr(self.dataset, "load_bytes"):
+            data, label = self.dataset.load_bytes(index)
+            if data is not None:
+                if self.augment:
+                    rng = np.random.default_rng((self.seed, epoch, index))
+                    return self.bytes_transform(data, rng), label
+                return self.bytes_transform(data), label
+        img, label = self.dataset.load(index)
         if self.augment:
-            rng = np.random.default_rng((self.seed, epoch, int(index)))
+            rng = np.random.default_rng((self.seed, epoch, index))
             arr = self.transform(img, rng)
         else:
             arr = self.transform(img)

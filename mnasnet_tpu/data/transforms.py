@@ -34,14 +34,14 @@ _BILINEAR = Image.Resampling.BILINEAR
 
 def resize_shorter(img: Image.Image, size: int) -> Image.Image:
     """torchvision ``Resize(int)``: scale so the shorter side == size,
-    preserving aspect ratio (other side rounded)."""
+    preserving aspect ratio (other side truncated, torchvision semantics)."""
     w, h = img.size
     if (w <= h and w == size) or (h <= w and h == size):
         return img
     if w < h:
-        ow, oh = size, int(round(size * h / w))
+        ow, oh = size, int(size * h / w)  # torchvision truncates, not rounds
     else:
-        ow, oh = int(round(size * w / h)), size
+        ow, oh = int(size * w / h), size
     return img.resize((ow, oh), _BILINEAR)
 
 

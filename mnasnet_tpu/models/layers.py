@@ -40,6 +40,38 @@ BN_MOMENTUM = 0.9997  # EMA decay; torch momentum = 1 - 0.9997 = 3e-4
 BN_EPSILON = 1e-5
 
 
+class PointwiseConv(nn.Module):
+    """1×1 conv with an explicitly-owned HWIO kernel param.
+
+    Used instead of ``nn.Conv`` inside MBConv blocks so the fused-block
+    Pallas path (ops/pallas/mbconv.py) can read the raw kernel without
+    applying the module. Identical param name/shape/init to ``nn.Conv`` —
+    the torch converter layout is unchanged.
+    """
+
+    in_ch: int
+    features: int
+    dtype: Any = None
+    precision: Any = None
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", conv_kernel_init,
+            (1, 1, self.in_ch, self.features), jnp.float32,
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jax.lax.conv_general_dilated(
+            x, self.kernel.astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision,
+        )
+
+    def matrix(self) -> jax.Array:
+        """(Cin, Cout) view for matmul-style fused kernels."""
+        return self.kernel[0, 0]
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch-exact running-stat semantics and BN folding.
 

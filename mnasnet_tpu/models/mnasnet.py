@@ -32,6 +32,7 @@ from flax import linen as nn
 
 from mnasnet_tpu.models.layers import (
     BatchNorm,
+    PointwiseConv,
     conv_kernel_init,
     dense_kernel_init,
     BN_MOMENTUM,
@@ -74,9 +75,9 @@ class InvertedResidual(nn.Module):
     def setup(self):
         mid = self.in_ch * self.expansion
         self.apply_residual = self.in_ch == self.out_ch and self.stride == 1
-        self.expand_conv = nn.Conv(
-            mid, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
-            dtype=self.dtype, precision=self.precision, name="expand_conv",
+        self.expand_conv = PointwiseConv(
+            self.in_ch, mid, dtype=self.dtype, precision=self.precision,
+            name="expand_conv",
         )
         self.expand_bn = BatchNorm(mid, dtype=self.dtype, name="expand_bn")
         self.dw_kernel = self.param(
@@ -84,18 +85,50 @@ class InvertedResidual(nn.Module):
             (self.kernel_size, self.kernel_size, 1, mid), jnp.float32,
         )
         self.dw_bn = BatchNorm(mid, dtype=self.dtype, name="dw_bn")
-        self.project_conv = nn.Conv(
-            self.out_ch, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
-            dtype=self.dtype, precision=self.precision, name="project_conv",
+        self.project_conv = PointwiseConv(
+            mid, self.out_ch, dtype=self.dtype, precision=self.precision,
+            name="project_conv",
         )
         self.project_bn = BatchNorm(self.out_ch, dtype=self.dtype, name="project_bn")
 
+    def _use_fused_block(self, x: jax.Array, train: bool) -> bool:
+        """Route to the single-kernel fused MBConv (ops/pallas/mbconv.py) —
+        the block-level fusion that keeps the 6×-expanded tensor out of HBM.
+        'pallas' forces it (interpret mode off-TPU, for tests); 'auto' takes
+        it on TPU backends when the planes fit VMEM."""
+        if train or self.dw_impl == "xla":
+            return False
+        from mnasnet_tpu.ops.pallas.mbconv import mbconv_fits_vmem
+
+        mid = self.in_ch * self.expansion
+        fits = mbconv_fits_vmem(
+            x.shape[1], x.shape[2], self.in_ch, mid, self.out_ch,
+            self.kernel_size, self.stride,
+        )
+        if self.dw_impl == "pallas":
+            return fits
+        return fits and jax.default_backend() in ("tpu", "axon")
+
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self._use_fused_block(x, train):
+            from mnasnet_tpu.ops.pallas.mbconv import mbconv_fused
+
+            se, be = self.expand_bn.folded()
+            sd, bd = self.dw_bn.folded()
+            sp, bp = self.project_bn.folded()
+            return mbconv_fused(
+                x,
+                self.expand_conv.matrix(), se, be,
+                self.dw_kernel, sd, bd,
+                self.project_conv.matrix(), sp, bp,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                residual=self.apply_residual,
+            )
         y = self.expand_conv(x)
         y = nn.relu(self.expand_bn(y, use_running_average=not train))
         if not train and self.dw_impl != "xla":
-            # Inference: fused dw-conv + folded-BN + ReLU (single Pallas kernel
-            # on TPU — the contract's centerpiece, SURVEY.md §2.3 N2/N3).
+            # Inference fallback: fused dw-conv + folded-BN + ReLU.
             s, b = self.dw_bn.folded()
             y = depthwise_conv_bn_relu_fused(
                 y, self.dw_kernel, s, b, stride=self.stride, impl=self.dw_impl,

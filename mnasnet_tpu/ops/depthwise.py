@@ -38,12 +38,23 @@ def _xla_depthwise(x, kernel, stride, padding, precision=None):
     )
 
 
-def _pallas_ok(x, kernel, stride) -> bool:
+def _pallas_supported(x, kernel, stride) -> bool:
     backend = jax.default_backend()
     if backend not in ("tpu", "axon"):
         return False
     k = kernel.shape[0]
     return k in (3, 5) and stride in (1, 2)
+
+
+def _pallas_ok(x, kernel, stride) -> bool:
+    """'auto' routing policy. Measured on the target v5e (tools/bench_dw.py):
+    XLA's depthwise emitter is already memory-bound-optimal per-op (up to
+    ~650 GB/s) and beats the standalone Pallas kernel on every MNASNet shape,
+    so 'auto' keeps standalone dw on XLA. The Pallas win lives at the block
+    level (fused MBConv keeps the 6x-expanded tensor out of HBM — see
+    ops/pallas/mbconv.py); explicit impl='pallas' still selects the
+    standalone kernel."""
+    return False
 
 
 def depthwise_conv2d(

@@ -56,32 +56,41 @@ def _pick_c_block(C: int, plane_elems: int) -> int:
 # --------------------------------------------------------------------------
 # stride-1 kernel
 # --------------------------------------------------------------------------
-def _dw_s1_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, k: int, relu: bool,
-                  hc: int):
-    """Stride-1 fused dw conv. Processes output rows in chunks of ``hc`` so
-    the fp32 accumulator (and Mosaic's materialized shifted tap operands)
-    stay small regardless of plane size — the whole input plane lives in
-    VMEM once (bf16), only the working set is chunked."""
+def _dw_s1_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, pad_ref, *, k: int,
+                  relu: bool, hc: int, padding: int):
+    """Stride-1 fused dw conv.
+
+    Padding is materialized in a VMEM scratch (zero borders + interior copy)
+    instead of an XLA-side jnp.pad — that saves a full HBM read+write of x,
+    which measured ~2× on the large planes. Output rows are processed in
+    static chunks of ``hc`` so the fp32 accumulator and Mosaic's shifted tap
+    operands stay register-resident; all slices are static.
+    """
+    H, W = x_ref.shape[1], x_ref.shape[2]
     Ho, Wo = o_ref.shape[1], o_ref.shape[2]
-    cb = o_ref.shape[3]
+    p = padding
+    if p:
+        # zero only the borders, then copy the interior
+        pad_ref[:p] = jnp.zeros_like(pad_ref[:p])
+        pad_ref[p + H:] = jnp.zeros_like(pad_ref[p + H:])
+        pad_ref[:, :p] = jnp.zeros_like(pad_ref[:, :p])
+        pad_ref[:, p + W:] = jnp.zeros_like(pad_ref[:, p + W:])
+    pad_ref[p:p + H, p:p + W, :] = x_ref[0]
+
     scale = s_ref[0].astype(jnp.float32)
     bias = b_ref[0].astype(jnp.float32)
-
-    def chunk(ci, _):
-        h0 = ci * hc
+    for h0 in range(0, Ho, hc):
+        hcur = min(hc, Ho - h0)
         acc = None
         for dy in range(k):
             for dx in range(k):
-                xs = x_ref[0, pl.ds(h0 + dy, hc), dx:dx + Wo, :].astype(jnp.float32)
+                xs = pad_ref[h0 + dy:h0 + dy + hcur, dx:dx + Wo, :].astype(jnp.float32)
                 term = xs * w_ref[dy, dx, :].astype(jnp.float32)
                 acc = term if acc is None else acc + term
         y = acc * scale + bias
         if relu:
             y = jnp.maximum(y, 0.0)
-        o_ref[0, pl.ds(h0, hc), :, :] = y.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, Ho // hc, chunk, 0)
+        o_ref[0, h0:h0 + hcur, :, :] = y.astype(o_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -163,8 +172,6 @@ def _dw_fused_raw(
     cb = _pick_c_block(C, Ho * Wo)
     hc = _pick_chunk(Ho, Wo, cb)
 
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
-
     grid = (N, pl.cdiv(C, cb))
     w_spec = pl.BlockSpec((k, k, cb), lambda n, c: (0, 0, c),
                           memory_space=pltpu.VMEM)
@@ -176,18 +183,23 @@ def _dw_fused_raw(
 
     if stride == 1:
         return pl.pallas_call(
-            functools.partial(_dw_s1_kernel, k=k, relu=relu, hc=hc),
+            functools.partial(_dw_s1_kernel, k=k, relu=relu, hc=hc,
+                              padding=padding),
             grid=grid,
             in_specs=[
-                _plane_spec(xp.shape[1:3], cb),
+                _plane_spec((H, W), cb),
                 w_spec, sb_spec, sb_spec,
             ],
             out_specs=out_spec,
             out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((H + 2 * padding, W + 2 * padding, cb), x.dtype)
+            ],
             interpret=_interpret(),
-        )(xp, w, s2, b2)
+        )(x, w, s2, b2)
 
     if stride == 2:
+        xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
         # Parity planes, each padded up so every tap's stride-1 window fits:
         # plane (a,b) needs Ho−1 + (k−1−a)//2 + 1 rows.
         planes = []

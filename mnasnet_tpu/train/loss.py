@@ -36,9 +36,13 @@ def topk_correct(logits: jax.Array, labels: jax.Array, ks=(1, 5)) -> dict[str, j
     """Top-k-correct counts per k plus the valid-sample 'count' (summable
     across batches/devices; the reference's ``accuracy(output, target)``)."""
     mask = labels >= 0
-    maxk = max(ks)
+    num_classes = logits.shape[-1]
+    maxk = min(max(ks), num_classes)  # top-5 on a 4-class head is top-4
     _, pred = jax.lax.top_k(logits, maxk)  # (B, maxk)
     correct = (pred == labels[:, None]) & mask[:, None]
-    out = {f"top{k}": jnp.sum(jnp.any(correct[:, :k], axis=1)) for k in ks}
+    out = {
+        f"top{k}": jnp.sum(jnp.any(correct[:, :min(k, maxk)], axis=1))
+        for k in ks
+    }
     out["count"] = jnp.sum(mask).astype(jnp.int32)
     return out

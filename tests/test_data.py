@@ -161,3 +161,32 @@ def test_train_transform_deterministic_given_rng():
     b = train_transform(img, 64, np.random.default_rng(42))
     np.testing.assert_array_equal(a, b)
     assert a.shape == (64, 64, 3)
+
+
+def test_loader_native_bytes_path(tmp_path):
+    # DataLoader routes JPEGs through bytes_transform, matching the PIL path.
+    pytest.importorskip("mnasnet_tpu.data.native_decoder")
+    from mnasnet_tpu.data import native_decoder
+
+    if not native_decoder.available():
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, (280, 320, 3), dtype=np.uint8)
+            ).save(d / f"{i}.jpg", quality=95)
+    ds = ImageFolderDataset(str(tmp_path))
+    kw = dict(batch_size=3, shuffle=False, drop_last=True, workers=0,
+              augment=False)
+    pil = DataLoader(ds, transform=lambda img: eval_transform(img, 64), **kw)
+    nat = DataLoader(
+        ds, transform=lambda img: eval_transform(img, 64),
+        bytes_transform=lambda data: native_decoder.decode_eval(data, 64, fast=False),
+        **kw,
+    )
+    (pi, pl_), (ni, nl) = next(iter(pil.epoch(0))), next(iter(nat.epoch(0)))
+    np.testing.assert_array_equal(pl_, nl)
+    assert float(np.abs(pi - ni).max()) < 0.05  # ~2/255 in normalized units

@@ -45,36 +45,44 @@ LAYERS = [
 ]
 
 
-def bench_chain(op, x, iters):
-    """Time `iters` dependent applications of op inside one jit."""
+def bench_chain(op, x, iters_lo=20, iters_hi=120):
+    """Per-op time via two-point slope: the axon tunnel adds ~25 ms fixed
+    dispatch+sync per jit call, so single-call-divided-by-iters is useless.
+    Time a short chain and a long chain once each; slope = per-op cost."""
 
-    @jax.jit
-    def chained(x):
-        def body(_, x):
-            y = op(x)
-            # feedback keeps the chain dependent without changing shape:
-            # blend output back to input spatial size via slicing-free trick
-            return y if y.shape == x.shape else x * 0.999
-        if op(x).shape == x.shape:
-            return lax.fori_loop(0, iters, body, x)
-        # stride-2: shape changes; chain via (op(x) reduced scalar) feedback
-        def body2(_, carry):
-            x, acc = carry
-            y = op(x)
-            return (x * 0.9999, acc + jnp.sum(y[:1, :1, :1, :4]))
-        return lax.fori_loop(0, iters, body2, (x, jnp.zeros((), x.dtype)))[1]
+    def chained(iters):
+        same_shape = op(x).shape == x.shape
 
-    r = chained(x)
-    jax.block_until_ready(r)
+        @jax.jit
+        def f(x):
+            if same_shape:
+                return lax.fori_loop(0, iters, lambda _, x: op(x), x)
+
+            def body2(_, carry):
+                x, acc = carry
+                y = op(x)
+                # sum the FULL output — slicing lets XLA shrink the conv (DCE)
+                return (-x, acc + jnp.sum(y.astype(jnp.float32)))
+
+            return lax.fori_loop(0, iters, body2,
+                                 (x, jnp.zeros((), jnp.float32)))[1]
+
+        return f
+
+    f_lo, f_hi = chained(iters_lo), chained(iters_hi)
+    jax.block_until_ready(f_lo(x))
+    jax.block_until_ready(f_hi(x))
     t0 = time.perf_counter()
-    r = chained(x)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(f_lo(x))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(f_hi(x))
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (iters_hi - iters_lo)
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=30)
     p.add_argument("--batch", type=int, default=64)
     args = p.parse_args()
 
@@ -104,11 +112,11 @@ def main():
             return jnp.maximum(y * scale.astype(y.dtype) + bias.astype(y.dtype), 0)
 
         try:
-            tp = bench_chain(op_pallas, x, args.iters)
+            tp = bench_chain(op_pallas, x)
         except Exception as e:
             print(f"{h:>4}x{h}x{c:<5} k{k}s{s}  PALLAS-FAIL {type(e).__name__}")
             continue
-        tx = bench_chain(op_xla, x, args.iters)
+        tx = bench_chain(op_xla, x)
         ho = (h + 2 * pad - k) // s + 1
         bytes_moved = (x.size + args.batch * ho * ho * c) * 2
         bw = bytes_moved / tp / 1e9

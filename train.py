@@ -58,6 +58,12 @@ def parse_args(argv=None):
     p.add_argument("--deterministic", action="store_true",
                    help="fixed seeds + drop_last for bit-reproducible runs")
     # --- env-specific ---
+    p.add_argument("--decoder", choices=["pil", "native", "native-fast"],
+                   default="native-fast",
+                   help="JPEG path: PIL, native fused decoder (strict PIL "
+                        "parity), or native with DCT-scaled decode (fastest); "
+                        "native falls back to PIL if the C++ build is "
+                        "unavailable")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic FakeData (no dataset required)")
     p.add_argument("--synthetic-size", type=int, default=1024,
@@ -114,18 +120,37 @@ def main(argv=None):
         train_ds = ImageFolderDataset(os.path.join(args.data, "train"))
         val_ds = ImageFolderDataset(os.path.join(args.data, "val"))
 
+    train_bytes_tf = val_bytes_tf = None
+    if args.decoder != "pil":
+        from mnasnet_tpu.data import native_decoder
+
+        if native_decoder.available():
+            fast = args.decoder == "native-fast"
+            train_bytes_tf = (
+                lambda data, rng: native_decoder.decode_train(
+                    data, args.image_size, rng, fast=fast)
+            )
+            val_bytes_tf = (
+                lambda data: native_decoder.decode_eval(
+                    data, args.image_size, fast=fast)
+            )
+        else:
+            print("warning: native decoder unavailable, using PIL", flush=True)
+
     host_batch = args.batch_size // num_shards
     train_loader = DataLoader(
         train_ds, host_batch,
         lambda img, rng: train_transform(img, args.image_size, rng),
         shuffle=True, drop_last=True, seed=seed, workers=args.workers,
         shard_id=shard_id, num_shards=num_shards,
+        bytes_transform=train_bytes_tf,
     )
     val_loader = DataLoader(
         val_ds, host_batch,
         lambda img: eval_transform(img, args.image_size),
         shuffle=False, drop_last=False, seed=seed, workers=args.workers,
         shard_id=shard_id, num_shards=num_shards, augment=False,
+        bytes_transform=val_bytes_tf,
     )
 
     # ---- optimizer + schedule --------------------------------------------
