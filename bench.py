@@ -2,13 +2,19 @@
 """North-star benchmark: MNASNet-1.0 @224 images/sec/chip, train + infer
 ([B:metric]). Prints ONE JSON line.
 
-``vs_baseline`` is measured speedup of the optimized path (bf16 + fused
-kernels) over this framework's own unoptimized XLA-fp32 path on the same
-chip — the reference's own GPU numbers are unrecoverable (BASELINE.md), so
-the self-relative ratio is the honest, reproducible comparison the driver can
-track across rounds.
+Timing method: two-point slope over in-jit `lax.fori_loop` chains — the axon
+tunnel adds ~25 ms fixed dispatch+sync per jit call, so single-call timing is
+overhead-dominated (see tools/bench_dw.py and the memory note). The chain
+feedback negates the input each iteration (exact in bf16) so XLA can neither
+hoist the model out of the loop nor algebraically collapse it.
 
-Run on the real TPU (default env: JAX_PLATFORMS=axon). ~1 min.
+``vs_baseline`` is the measured speedup of the optimized path (bf16, fused
+epilogues, 'auto' kernel routing) over this framework's own unoptimized
+fp32 path on the same chip — the reference's GPU numbers are unrecoverable
+(BASELINE.md §provenance), so the self-relative ratio is the honest,
+reproducible number the driver can track across rounds.
+
+Run on the real TPU (default env: JAX_PLATFORMS=axon). ~3-5 min (compiles).
 """
 
 from __future__ import annotations
@@ -18,127 +24,120 @@ import json
 import time
 
 
-def _bench_fn(fn, args, *, warmup=3, iters=10):
-    import jax
-
-    # compile + warmup
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="mnasnet1_0")
     p.add_argument("--image-size", type=int, default=224)
-    p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--iters-lo", type=int, default=4)
+    p.add_argument("--iters-hi", type=int, default=16)
     p.add_argument("--mode", choices=["train", "infer", "both"], default="both")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from mnasnet_tpu import create_model
-    from mnasnet_tpu.parallel.mesh import make_mesh
     from mnasnet_tpu.train.optim import create_optimizer
-    from mnasnet_tpu.train.steps import make_predict_fn, make_train_step
     from mnasnet_tpu.train.state import TrainState
+    from mnasnet_tpu.train.steps import make_predict_fn, make_train_step
 
     n_chips = jax.device_count()
     bs = args.batch_size
     img = args.image_size
-    rng = jax.random.PRNGKey(0)
-    images = jax.random.normal(rng, (bs, img, img, 3), jnp.bfloat16)
+    images = jax.random.normal(
+        jax.random.PRNGKey(0), (bs, img, img, 3), jnp.bfloat16
+    )
     labels = jnp.zeros((bs,), jnp.int32)
 
-    results = {}
+    def slope_time(make_chain):
+        f_lo = make_chain(args.iters_lo)
+        f_hi = make_chain(args.iters_hi)
+        jax.block_until_ready(f_lo())
+        jax.block_until_ready(f_hi())
+        t0 = time.perf_counter()
+        jax.block_until_ready(f_lo())
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(f_hi())
+        t_hi = time.perf_counter() - t0
+        return (t_hi - t_lo) / (args.iters_hi - args.iters_lo)
 
-    def build(dtype, dw_impl, precision=None):
-        model = create_model(args.arch, dtype=dtype, dw_impl=dw_impl,
-                             precision=precision)
+    def build(dtype, dw_impl):
+        model = create_model(args.arch, dtype=dtype, dw_impl=dw_impl)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), dtype),
             train=False,
         )
         return model, variables
 
-    # ---- optimized inference (bf16 + fused dw) ----
-    model, variables = build(jnp.bfloat16, "auto")
-    predict = jax.jit(make_predict_fn(model))
-    dt = _bench_fn(
-        predict,
-        (variables["params"], variables["batch_stats"], images),
-        iters=args.iters,
-    )
-    results["infer_ips"] = bs / dt
+    results = {}
 
-    # ---- baseline inference (fp32, plain XLA, no fusion flags) ----
-    model_b, variables_b = build(jnp.float32, "xla")
-    predict_b = jax.jit(make_predict_fn(model_b))
-    dt_b = _bench_fn(
-        predict_b,
-        (variables_b["params"], variables_b["batch_stats"],
-         images.astype(jnp.float32)),
-        iters=max(args.iters // 2, 3),
-    )
-    results["infer_ips_baseline"] = bs / dt_b
+    def bench_infer(model, variables, x):
+        predict = make_predict_fn(model)
 
-    if args.mode in ("train", "both"):
+        def make_chain(iters):
+            @jax.jit
+            def f(x):
+                def body(_, carry):
+                    x, acc = carry
+                    y = predict(variables["params"], variables["batch_stats"], x)
+                    return (-x, acc + jnp.sum(y))
+                return lax.fori_loop(
+                    0, iters, body, (x, jnp.zeros((), jnp.float32))
+                )[1]
+            return lambda: f(x)
+
+        return slope_time(make_chain)
+
+    def bench_train(model, variables, x):
         tx = create_optimizer("rmsprop", 0.01)
+        state0 = TrainState.create(
+            variables["params"], variables["batch_stats"], tx,
+            jax.random.PRNGKey(0),
+        )
+        step = make_train_step(model, tx, 0.1)
 
-        def make_state(variables):
-            return TrainState.create(
-                variables["params"], variables["batch_stats"], tx,
-                jax.random.PRNGKey(0),
-            )
+        def make_chain(iters):
+            @jax.jit
+            def f(state, x):
+                def body(_, carry):
+                    state, x, acc = carry
+                    state, metrics = step(state, x, labels)
+                    # consume the loss so the grad/update computation can't
+                    # be dead-code-eliminated (returning only state.step
+                    # lets XLA delete the whole backward pass)
+                    return (state, -x, acc + metrics["loss"])
+                _, _, acc = lax.fori_loop(
+                    0, iters, body, (state, x, jnp.zeros((), jnp.float32))
+                )
+                return acc
+            return lambda: f(state0, x)
 
-        # optimized train step (bf16 compute)
-        step = jax.jit(make_train_step(model, tx, 0.1), donate_argnums=(0,))
-        state = make_state(variables)
+        return slope_time(make_chain)
 
-        def run(state):
-            state, m = step(state, images, labels)
-            return state, m
+    # optimized: bf16 + auto kernel routing
+    model, variables = build(jnp.bfloat16, "auto")
+    results["infer_ips"] = bs / bench_infer(model, variables, images)
+    if args.mode in ("train", "both"):
+        results["train_ips"] = bs / bench_train(model, variables, images)
 
-        state, m = run(state)  # compile
-        jax.block_until_ready(m)
-        for _ in range(3):
-            state, m = run(state)
-        jax.block_until_ready(m)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, m = run(state)
-        jax.block_until_ready(m)
-        dt_t = (time.perf_counter() - t0) / args.iters
-        results["train_ips"] = bs / dt_t
-
-        # baseline train step (fp32, xla dw)
-        step_b = jax.jit(make_train_step(model_b, tx, 0.1), donate_argnums=(0,))
-        state_b = make_state(variables_b)
-        imgs32 = images.astype(jnp.float32)
-        state_b, m_b = step_b(state_b, imgs32, labels)
-        jax.block_until_ready(m_b)
-        t0 = time.perf_counter()
-        for _ in range(max(args.iters // 2, 3)):
-            state_b, m_b = step_b(state_b, imgs32, labels)
-        jax.block_until_ready(m_b)
-        dt_tb = (time.perf_counter() - t0) / max(args.iters // 2, 3)
-        results["train_ips_baseline"] = bs / dt_tb
+    # baseline: fp32, plain XLA routing, no bf16
+    model_b, variables_b = build(jnp.float32, "xla")
+    imgs32 = images.astype(jnp.float32)
+    results["infer_ips_fp32_baseline"] = bs / bench_infer(model_b, variables_b, imgs32)
+    if args.mode in ("train", "both"):
+        results["train_ips_fp32_baseline"] = bs / bench_train(model_b, variables_b, imgs32)
 
     headline = results.get("train_ips", results["infer_ips"]) / n_chips
-    baseline = results.get("train_ips_baseline", results["infer_ips_baseline"]) / n_chips
+    baseline = results.get(
+        "train_ips_fp32_baseline", results["infer_ips_fp32_baseline"]
+    ) / n_chips
     print(
         json.dumps(
             {
-                "metric": f"{args.arch}@{img} train images/sec/chip (bf16, fused)",
+                "metric": f"{args.arch}@{img} train images/sec/chip (bf16)",
                 "value": round(headline, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(headline / baseline, 3),

@@ -16,6 +16,7 @@ from mnasnet_tpu.models.mnasnet import (
     mnasnet1_3,
     MODEL_REGISTRY,
 )
+from mnasnet_tpu.pretrained import load_pretrained
 
 __version__ = "0.1.0"
 
@@ -29,5 +30,6 @@ __all__ = [
     "mnasnet1_0",
     "mnasnet1_3",
     "MODEL_REGISTRY",
+    "load_pretrained",
     "__version__",
 ]

@@ -94,20 +94,19 @@ class InvertedResidual(nn.Module):
     def _use_fused_block(self, x: jax.Array, train: bool) -> bool:
         """Route to the single-kernel fused MBConv (ops/pallas/mbconv.py) —
         the block-level fusion that keeps the 6×-expanded tensor out of HBM.
-        'pallas' forces it (interpret mode off-TPU, for tests); 'auto' takes
-        it on TPU backends when the planes fit VMEM."""
-        if train or self.dw_impl == "xla":
+        Explicit opt-in via dw_impl='pallas' only: measured on the target v5e
+        (BASELINE.md), XLA's per-op conv lowering is faster for this model at
+        batch ≥64 (inference is MXU-bound on the pointwise convs), so 'auto'
+        keeps the XLA path as the production default."""
+        if train or self.dw_impl != "pallas":
             return False
         from mnasnet_tpu.ops.pallas.mbconv import mbconv_fits_vmem
 
         mid = self.in_ch * self.expansion
-        fits = mbconv_fits_vmem(
+        return mbconv_fits_vmem(
             x.shape[1], x.shape[2], self.in_ch, mid, self.out_ch,
             self.kernel_size, self.stride,
         )
-        if self.dw_impl == "pallas":
-            return fits
-        return fits and jax.default_backend() in ("tpu", "axon")
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self._use_fused_block(x, train):

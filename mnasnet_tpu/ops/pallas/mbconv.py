@@ -44,7 +44,7 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _chunk_divisor(total: int, row_bytes: int, budget: int = 256 * 1024) -> int:
+def _chunk_divisor(total: int, row_bytes: int, budget: int = 96 * 1024) -> int:
     """Largest divisor of ``total`` whose chunk fits ``budget`` bytes."""
     if total * row_bytes <= budget:
         return total

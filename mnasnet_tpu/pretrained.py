@@ -1,0 +1,51 @@
+"""Pretrained-weight loading — the reference's ``mnasnet1_0(pretrained=True)``
+capability (SURVEY.md §2.1 "Pretrained load"), adapted to a no-network world
+and JAX's model/params split.
+
+The reference downloads a torchvision state_dict from a URL map. This
+environment has no egress, and in JAX the module is a pure function separate
+from its variables, so the API is::
+
+    model, variables = load_pretrained("mnasnet1_0", "mnasnet1_0.pth")
+    logits = model.apply(variables, images, train=False)
+
+Accepted files: a torch ``.pth/.pth.tar/.pt`` pickle (raw state_dict or a
+reference-style ``{"state_dict": ...}`` checkpoint — ``module.`` prefixes are
+stripped), or an ``.npz`` of converted arrays keyed by torch names.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mnasnet_tpu.convert.torch_converter import torch_to_flax
+from mnasnet_tpu.models.mnasnet import MODEL_REGISTRY, MNASNet
+
+
+def load_state_dict_file(path: str) -> dict[str, Any]:
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        import torch  # CPU torch is available in dev envs; optional dep
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        return ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    raise ValueError(f"unsupported checkpoint format: {path!r}")
+
+
+def load_pretrained(arch: str, path: str, **model_kwargs):
+    """(model, variables) for a reference checkpoint file.
+
+    ``arch`` is a registry name (``mnasnet0_35 .. mnasnet1_3``).
+    """
+    if arch not in MODEL_REGISTRY:
+        raise ValueError(f"unknown arch {arch!r}; choices: {sorted(MODEL_REGISTRY)}")
+    model: MNASNet = MODEL_REGISTRY[arch](**model_kwargs)
+    sd = load_state_dict_file(path)
+    variables = jax.tree.map(jnp.asarray, torch_to_flax(sd, model.alpha))
+    return model, variables

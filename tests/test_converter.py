@@ -72,3 +72,24 @@ def test_fused_inference_path_matches_unfused():
         variables, x, train=False
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=1e-5)
+
+
+def test_load_pretrained_api(tmp_path):
+    import jax.numpy as jnp_
+
+    from mnasnet_tpu import load_pretrained
+
+    tmodel = TorchMNASNet(0.5).eval()
+    randomize_bn_stats(tmodel, seed=9)
+    path = str(tmp_path / "w.pth")
+    torch.save({"state_dict": tmodel.state_dict()}, path)
+
+    model, variables = load_pretrained("mnasnet0_5", path, precision="highest")
+    x = np.random.default_rng(9).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        load_pretrained("resnet50", path)
