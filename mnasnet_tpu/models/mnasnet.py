@@ -162,6 +162,10 @@ class MNASNet(nn.Module):
     # against the torch oracle (XLA's *default* conv precision is reduced even
     # in fp32), None for the fast TPU default.
     precision: Any = None
+    # Rematerialize MBConv blocks in the backward pass (jax.checkpoint):
+    # trades recompute FLOPs for HBM traffic — a win when training is
+    # bandwidth-bound (this chip: see BASELINE.md).
+    remat: bool = False
 
     def setup(self):
         d = get_depths(self.alpha)
@@ -182,13 +186,17 @@ class MNASNet(nn.Module):
         )
         self.sep_pw_bn = BatchNorm(d[1], dtype=self.dtype, name="sep_pw_bn")
 
+        block_cls = InvertedResidual
+        if self.remat:
+            # static_argnums indexes (x, train) — train must stay static
+            block_cls = nn.remat(InvertedResidual, static_argnums=(2,))
         blocks = []
         in_ch = d[1]
         for s, (k, stride, exp, repeats) in enumerate(STACKS):
             out_ch = d[2 + s]
             for j in range(repeats):
                 blocks.append(
-                    InvertedResidual(
+                    block_cls(
                         in_ch=in_ch,
                         out_ch=out_ch,
                         kernel_size=k,
@@ -231,7 +239,7 @@ class MNASNet(nn.Module):
             y = nn.relu(self.sep_dw_bn(y, use_running_average=not train))
         y = self.sep_pw_bn(self.sep_pw_conv(y), use_running_average=not train)
         for block in self.blocks:
-            y = block(y, train=train)
+            y = block(y, train)  # positional: remat static_argnums
         y = nn.relu(self.head_bn(self.head_conv(y), use_running_average=not train))
         return y
 

@@ -85,7 +85,12 @@ class Trainer:
         return replicate_state(self.mesh, state)
 
     # ----------------------------------------------------------------- train
-    def train_epoch(self, state: TrainState, loader, epoch: int) -> TrainState:
+    def train_epoch(self, state: TrainState, loader, epoch: int,
+                    step_callback=None, step_callback_freq: int = 0) -> TrainState:
+        """One training epoch. ``step_callback(state, global_step)`` fires
+        every ``step_callback_freq`` steps when set — used for step-level
+        checkpoint cadence (finer-grained recovery than the reference's
+        epoch-only checkpoints, SURVEY.md §5.3)."""
         batch_time = AverageMeter("Time", ":6.3f")
         data_time = AverageMeter("Data", ":6.3f")
         losses = AverageMeter("Loss", ":.4e")
@@ -112,6 +117,9 @@ class Trainer:
             if pending is not None:
                 self._consume(pending[0], pending[1], losses, top1, top5, progress, epoch, loader)
             pending = (metrics, i)
+            if (step_callback is not None and step_callback_freq > 0
+                    and (i + 1) % step_callback_freq == 0):
+                step_callback(state, epoch * loader.steps_per_epoch() + i)
             batch_time.update(time.perf_counter() - end)
             end = time.perf_counter()
         if pending is not None:

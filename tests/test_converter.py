@@ -93,3 +93,48 @@ def test_load_pretrained_api(tmp_path):
 
     with pytest.raises(ValueError):
         load_pretrained("resnet50", path)
+
+
+def test_per_block_activation_parity():
+    """SURVEY.md §4.1c: per-stage activations on converted weights match the
+    torch oracle — catches BN-folding / layout bugs that logits-level parity
+    can miss."""
+    alpha = 0.5
+    torch.manual_seed(11)
+    tmodel = TorchMNASNet(alpha).eval()
+    randomize_bn_stats(tmodel, seed=11)
+    variables = jax.tree.map(jnp.asarray, torch_to_flax(tmodel.state_dict(), alpha))
+
+    x = np.random.default_rng(12).standard_normal((1, 64, 64, 3)).astype(np.float32)
+    acts = {}
+    y = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for i, m in enumerate(tmodel.layers):
+            y = m(y)
+            acts[i] = y.numpy()
+
+    model = MNASNet(alpha=alpha, dw_impl="xla", precision="highest")
+    _, inter = model.apply(
+        variables, jnp.asarray(x), train=False,
+        capture_intermediates=True, mutable=["intermediates"],
+    )
+    fi = inter["intermediates"]
+
+    def flax_out(*path):
+        node = fi
+        for p in path:
+            node = node[p]
+        return np.asarray(node["__call__"][0]).transpose(0, 3, 1, 2)
+
+    from mnasnet_tpu.models.mnasnet import STACKS
+
+    # torch layers.{8+s} == last block of flax stage s
+    checks = [(("sep_pw_bn",), 7)]
+    for s, (_k, _st, _e, repeats) in enumerate(STACKS):
+        checks.append(((f"stage{s}_block{repeats - 1}",), 8 + s))
+    for path, ti in checks:
+        ours = flax_out(*path)
+        np.testing.assert_allclose(
+            ours, acts[ti], atol=5e-5, rtol=1e-4,
+            err_msg=f"{path} vs torch layers.{ti}",
+        )

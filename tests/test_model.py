@@ -72,3 +72,35 @@ def test_bf16_compute_dtype():
     logits = model.apply(variables, x, train=False)
     assert logits.dtype == jnp.float32
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_remat_model_matches_plain():
+    """remat=True must be a pure performance/memory knob: identical params
+    tree, identical eval forward, identical train-mode grads."""
+    from mnasnet_tpu.train.loss import cross_entropy
+
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    )
+    labels = jnp.asarray([1, 2])
+    m0 = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla")
+    m1 = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla", remat=True)
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v["params"]) == jax.tree.structure(
+        m1.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    )
+
+    def loss(m, params):
+        logits, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return cross_entropy(logits, labels, 0.1)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v["params"])
+    g1 = jax.grad(lambda p: loss(m1, p))(v["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        g0, g1,
+    )

@@ -52,7 +52,14 @@ def parse_args(argv=None):
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--fused-kernels", choices=["auto", "pallas", "xla"],
                    default="auto", help="depthwise conv implementation")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize MBConv blocks (saves activation HBM "
+                        "at ~11%% step-time cost on v5e; for memory-bound "
+                        "configs)")
     p.add_argument("--output-dir", default="./checkpoints")
+    p.add_argument("--save-freq-steps", type=int, default=0,
+                   help="also checkpoint every N steps (0 = epoch-only, the "
+                        "reference's cadence)")
     p.add_argument("--sync-bn", action="store_true", default=True,
                    help="global BN stats across devices (GSPMD default)")
     p.add_argument("--deterministic", action="store_true",
@@ -105,6 +112,7 @@ def main(argv=None):
         num_classes=args.num_classes,
         dtype=dtype,
         dw_impl=args.fused_kernels,
+        remat=args.remat,
     )
 
     # ---- data -------------------------------------------------------------
@@ -224,9 +232,22 @@ def main(argv=None):
         trainer.validate(state, val_loader)
         return
 
+    step_cb = None
+    if args.save_freq_steps > 0 and jax.process_index() == 0:
+        step_mgr = CheckpointManager(
+            os.path.abspath(os.path.join(args.output_dir, "steps")),
+            max_to_keep=2,
+        )
+
+        def step_cb(state, global_step):
+            step_mgr.save(global_step, state, acc1=0.0, best_acc1=best_acc1)
+
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
-        state = trainer.train_epoch(state, train_loader, epoch)
+        state = trainer.train_epoch(
+            state, train_loader, epoch,
+            step_callback=step_cb, step_callback_freq=args.save_freq_steps,
+        )
         acc1, acc5, _ = trainer.validate(state, val_loader)
         is_best = acc1 > best_acc1
         best_acc1 = max(acc1, best_acc1)
