@@ -38,6 +38,87 @@ def _xla_depthwise(x, kernel, stride, padding, precision=None):
     )
 
 
+def dw_transposed_dx(g, kernel, stride, padding, H, W):
+    """dL/dx of a depthwise conv: dilate g by stride, correlate with the
+    spatially-flipped kernel (transposed conv). High padding carries the
+    stride remainder so positions past the last window start get gradient."""
+    k = kernel.shape[0]
+    C = kernel.shape[-1]
+    flipped = jnp.flip(kernel, axis=(0, 1))
+    adj_h = (H + 2 * padding - k) % stride
+    adj_w = (W + 2 * padding - k) % stride
+    dx = lax.conv_general_dilated(
+        g,
+        flipped.astype(g.dtype),
+        window_strides=(1, 1),
+        padding=[
+            (k - 1 - padding, k - 1 - padding + adj_h),
+            (k - 1 - padding, k - 1 - padding + adj_w),
+        ],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+    )
+    return dx[:, :H, :W, :]
+
+
+def dw_grad_weights(x, g, k, stride, padding):
+    """dL/dkernel as k² shifted elementwise reductions.
+
+    dw[dy,dx,c] = Σ_{n,i,j} xp[n, i·s+dy, j·s+dx, c] · g[n, i, j, c]
+
+    XLA's native depthwise wgrad lowering is pathologically slow on mid-size
+    planes on this chip (measured 1.4-2.0 ms for the 56² layers at bs128 —
+    up to 30× slower than this formulation, tools-level race in BASELINE.md);
+    the tap unrolling fuses into a handful of multiply-reduce passes.
+    """
+    N, H, W, C = x.shape
+    Ho, Wo = g.shape[1], g.shape[2]
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    g32 = g.astype(jnp.float32)
+    rows = []
+    for dy in range(k):
+        cols = []
+        for dx in range(k):
+            window = lax.slice(
+                xp,
+                (0, dy, dx, 0),
+                (N, dy + (Ho - 1) * stride + 1, dx + (Wo - 1) * stride + 1, C),
+                (1, stride, stride, 1),
+            ).astype(jnp.float32)
+            cols.append(jnp.sum(window * g32, axis=(0, 1, 2)))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows).reshape(k, k, 1, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _dw_conv_hybrid(x, kernel, stride, padding):
+    return _xla_depthwise(x, kernel, stride, padding)
+
+
+def _dw_hybrid_fwd(x, kernel, stride, padding):
+    return _xla_depthwise(x, kernel, stride, padding), (x, kernel)
+
+
+def _dw_hybrid_bwd(stride, padding, res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    dx = dw_transposed_dx(g.astype(x.dtype), kernel, stride, padding,
+                          x.shape[1], x.shape[2]).astype(x.dtype)
+    dw = dw_grad_weights(x, g, k, stride, padding).astype(kernel.dtype)
+    return dx, dw
+
+
+_dw_conv_hybrid.defvjp(_dw_hybrid_fwd, _dw_hybrid_bwd)
+
+
+def _hybrid_wins(H: int, k: int) -> bool:
+    """Shape routing for the custom-VJP wgrad, from the measured race
+    (BASELINE.md): tap-wise wins decisively for 14 ≤ H ≤ 64 (up to 30×),
+    loses at 112² and at 7² k5 where XLA's lowering is already fine."""
+    return 8 < H <= 64
+
+
 def _pallas_supported(x, kernel, stride) -> bool:
     backend = jax.default_backend()
     if backend not in ("tpu", "axon"):
@@ -80,6 +161,14 @@ def depthwise_conv2d(
         from mnasnet_tpu.ops.pallas.dw_conv import depthwise_conv_pallas
 
         return depthwise_conv_pallas(x, kernel, stride=stride, padding=padding)
+    if impl == "hybrid" and _hybrid_wins(x.shape[1], k):
+        # XLA forward + custom-VJP backward with the tap-wise wgrad. Wins
+        # per-op in isolation (up to 30× on the 56² wgrads) but measured
+        # SLOWER in the full training graph (20.9 vs 17.7 ms/step at bs128 —
+        # the custom_vjp boundary blocks XLA's cross-op fusion/scheduling),
+        # so 'auto' stays on plain XLA autodiff. Kept selectable for future
+        # XLA versions / other shapes.
+        return _dw_conv_hybrid(x, kernel, stride, padding)
     return _xla_depthwise(x, kernel, stride, padding, precision)
 
 

@@ -251,56 +251,14 @@ def _dw_conv_fwd(x, kernel, stride, padding):
     return _dw_conv(x, kernel, stride, padding), (x, kernel)
 
 
-def _dw_grad_weights(x, g, k, stride, padding):
-    """dL/dkernel via reduce_window-free einsum formulation.
-
-    dw[dy,dx,c] = Σ_{n,i,j} xp[n, i·s+dy, j·s+dx, c] · g[n, i, j, c]
-    Computed as k² shifted elementwise reductions — the exact adjoint of the
-    forward tap unrolling, fuses into a handful of XLA reduce ops.
-    """
-    N, H, W, C = x.shape
-    Ho, Wo = g.shape[1], g.shape[2]
-    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
-    g32 = g.astype(jnp.float32)
-    rows = []
-    for dy in range(k):
-        cols = []
-        for dx in range(k):
-            window = lax.slice(
-                xp,
-                (0, dy, dx, 0),
-                (N, dy + (Ho - 1) * stride + 1, dx + (Wo - 1) * stride + 1, C),
-                (1, stride, stride, 1),
-            ).astype(jnp.float32)
-            cols.append(jnp.sum(window * g32, axis=(0, 1, 2)))
-        rows.append(jnp.stack(cols))
-    return jnp.stack(rows).reshape(k, k, 1, C)
-
-
 def _dw_conv_bwd(stride, padding, res, g):
+    from mnasnet_tpu.ops.depthwise import dw_grad_weights, dw_transposed_dx
+
     x, kernel = res
-    N, H, W, C = x.shape
     k = kernel.shape[0]
-    flipped = jnp.flip(kernel, axis=(0, 1))
-    # Transposed conv: dilate g by stride, correlate with the flipped kernel.
-    # High padding carries the stride remainder so input positions past the
-    # last window start still receive their gradient.
-    adj_h = (H + 2 * padding - k) % stride
-    adj_w = (W + 2 * padding - k) % stride
-    dx = lax.conv_general_dilated(
-        g.astype(x.dtype),
-        flipped.astype(x.dtype),
-        window_strides=(1, 1),
-        padding=[
-            (k - 1 - padding, k - 1 - padding + adj_h),
-            (k - 1 - padding, k - 1 - padding + adj_w),
-        ],
-        lhs_dilation=(stride, stride),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C,
-    )
-    dx = dx[:, :H, :W, :].astype(x.dtype)
-    dw = _dw_grad_weights(x, g, k, stride, padding).astype(kernel.dtype)
+    dx = dw_transposed_dx(g.astype(x.dtype), kernel, stride, padding,
+                          x.shape[1], x.shape[2]).astype(x.dtype)
+    dw = dw_grad_weights(x, g, k, stride, padding).astype(kernel.dtype)
     return dx, dw
 
 

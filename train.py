@@ -42,6 +42,22 @@ def parse_args(argv=None):
     p.add_argument("--pretrained", default="",
                    help="path to a converted-or-torch checkpoint to load")
     p.add_argument("--seed", type=int, default=None)
+    # --- reference CLI-contract compatibility (SURVEY.md §5.6) ---
+    # Accepted so reference launch scripts run unchanged; distribution is
+    # automatic here (mesh over local chips; multi-host via
+    # jax.distributed.initialize in the launcher), so these only validate.
+    p.add_argument("--world-size", type=int, default=-1,
+                   help="[compat] checked against jax.process_count()")
+    p.add_argument("--rank", type=int, default=-1,
+                   help="[compat] checked against jax.process_index()")
+    p.add_argument("--dist-url", default=None,
+                   help="[compat] ignored — no rendezvous needed")
+    p.add_argument("--dist-backend", default="ici",
+                   help="[compat] collectives always ride ICI/DCN via XLA")
+    p.add_argument("--gpu", type=int, default=None,
+                   help="[compat] single-device pinning is not applicable")
+    p.add_argument("--multiprocessing-distributed", action="store_true",
+                   help="[compat] ignored — sharding covers all chips")
     # --- recipe knobs implied by the rebuild contract [B:north_star] ---
     p.add_argument("--optimizer", choices=["sgd", "rmsprop"], default="rmsprop")
     p.add_argument("--lr-schedule", choices=["step", "cosine", "exp", "constant"],
@@ -102,9 +118,15 @@ def main(argv=None):
     from mnasnet_tpu.train.schedules import make_schedule, scale_lr_for_batch
     from mnasnet_tpu.train.trainer import Trainer
 
-    if jax.process_count() > 1:
-        # Multi-host: per-host data sharding (SURVEY.md §2.6).
-        pass  # jax.distributed.initialize() must be called by the launcher
+    if args.world_size not in (-1, jax.process_count()):
+        raise SystemExit(
+            f"--world-size {args.world_size} != jax.process_count() "
+            f"{jax.process_count()}; launch with jax.distributed.initialize()"
+        )
+    if args.rank not in (-1, jax.process_index()):
+        raise SystemExit(
+            f"--rank {args.rank} != jax.process_index() {jax.process_index()}"
+        )
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = create_model(
