@@ -39,7 +39,7 @@ def test_ddp_equivalence(ndev):
     global batch (the invariant DDP provides via NCCL allreduce, here via
     GSPMD — SURVEY.md §2.5)."""
     model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla",
-                    precision="highest")
+                    precision="highest", bn_stats="two_pass")
     tx = create_optimizer("sgd", 0.1, weight_decay=0.0)
 
     images, labels = _data(16)
@@ -97,7 +97,7 @@ def test_grad_equivalence_eval_mode():
     from mnasnet_tpu.train.loss import cross_entropy
 
     model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla",
-                    precision="highest")
+                    precision="highest", bn_stats="two_pass")
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False
     )

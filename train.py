@@ -68,6 +68,11 @@ def parse_args(argv=None):
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--fused-kernels", choices=["auto", "pallas", "xla"],
                    default="auto", help="depthwise conv implementation")
+    p.add_argument("--bn-stats", choices=["one_pass", "two_pass"],
+                   default="one_pass",
+                   help="BN batch-statistics formulation: one_pass is +17%% "
+                        "train step on v5e; two_pass is bitwise cross-mesh "
+                        "exact")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize MBConv blocks (saves activation HBM "
                         "at ~11%% step-time cost on v5e; for memory-bound "
@@ -135,6 +140,7 @@ def main(argv=None):
         dtype=dtype,
         dw_impl=args.fused_kernels,
         remat=args.remat,
+        bn_stats=args.bn_stats,
     )
 
     # ---- data -------------------------------------------------------------
