@@ -11,8 +11,6 @@ stand-in used by the integration smoke tests (SURVEY.md §4.5) and CLI
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional, Sequence
-
 import numpy as np
 from PIL import Image
 

@@ -21,7 +21,6 @@ torch-ism we do not copy.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -24,7 +24,7 @@ XLA (they're MXU matmuls and dominate FLOPs — 87% of MACs, SURVEY.md §2.1).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +35,6 @@ from mnasnet_tpu.models.layers import (
     PointwiseConv,
     conv_kernel_init,
     dense_kernel_init,
-    BN_MOMENTUM,
-    BN_EPSILON,
 )
 from mnasnet_tpu.ops.depthwise import (
     depthwise_conv2d,

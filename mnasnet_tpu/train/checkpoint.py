@@ -12,9 +12,8 @@ Async-capable; rank-0 coordination is handled by orbax in multi-host runs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

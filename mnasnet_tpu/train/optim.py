@@ -17,7 +17,7 @@ off BatchNorm scales/biases and the classifier bias, matching the recipe's
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Union
+from typing import Any, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -10,11 +10,9 @@ DDP's NCCL bucket hooks (SURVEY.md §2.6).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from mnasnet_tpu.train.loss import cross_entropy, topk_correct

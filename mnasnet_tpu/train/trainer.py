@@ -13,10 +13,8 @@ Differences from the reference, all TPU-motivated:
 
 from __future__ import annotations
 
-import dataclasses
 import time
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
