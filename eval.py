@@ -18,6 +18,9 @@ def main(argv=None):
     p.add_argument("--arch", default="mnasnet1_0")
     p.add_argument("--pretrained", required=False, default="")
     p.add_argument("--resume", default="", help="orbax checkpoint dir")
+    p.add_argument("--best", action="store_true",
+                   help="with --resume: load the best-acc1 checkpoint "
+                        "(model_best) instead of the latest")
     p.add_argument("--image", default="", help="classify a single image")
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("-b", "--batch-size", type=int, default=256)
@@ -48,13 +51,24 @@ def main(argv=None):
     elif args.resume:
         from mnasnet_tpu.train.checkpoint import CheckpointManager
         from mnasnet_tpu.train.optim import create_optimizer
-        from mnasnet_tpu.train.trainer import Trainer
+        from mnasnet_tpu.train.state import TrainState
         import os
 
+        # Template built directly — no Trainer / train-step machinery on the
+        # eval path; only the eval step ever compiles.
         tx = create_optimizer("sgd", 0.0)
-        trainer = Trainer(model, tx, compute_dtype=dtype)
-        state = trainer.create_state(jax.random.PRNGKey(0), args.image_size)
-        state, _, _ = CheckpointManager(os.path.abspath(args.resume)).restore(state)
+        variables0 = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.image_size, args.image_size, 3), dtype),
+            train=False,
+        )
+        template = TrainState.create(
+            variables0["params"], variables0["batch_stats"], tx,
+            jax.random.PRNGKey(0),
+        )
+        state, _, _ = CheckpointManager(os.path.abspath(args.resume)).restore(
+            template, best=args.best
+        )
         variables = {"params": state.params, "batch_stats": state.batch_stats}
     else:
         raise SystemExit("need --pretrained or --resume")

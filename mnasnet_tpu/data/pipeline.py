@@ -86,10 +86,16 @@ class DataLoader:
         if self.bytes_transform is not None and hasattr(self.dataset, "load_bytes"):
             data, label = self.dataset.load_bytes(index)
             if data is not None:
-                if self.augment:
-                    rng = np.random.default_rng((self.seed, epoch, index))
-                    return self.bytes_transform(data, rng), label
-                return self.bytes_transform(data), label
+                try:
+                    if self.augment:
+                        rng = np.random.default_rng((self.seed, epoch, index))
+                        return self.bytes_transform(data, rng), label
+                    return self.bytes_transform(data), label
+                except Exception:
+                    # Per-image PIL fallback: the native decoder rejects
+                    # JPEGs libjpeg can't hand back as RGB (CMYK/YCCK —
+                    # real ImageNet contains a few); PIL converts them.
+                    pass
         img, label = self.dataset.load(index)
         if self.augment:
             rng = np.random.default_rng((self.seed, epoch, index))
@@ -175,14 +181,29 @@ def prefetch_to_device(
     keeps ``size`` in-flight — the double-buffered pinned-DMA equivalent
     (SURVEY.md §2.3 N8). ``sharding`` may be a single sharding or a tuple
     (images_sharding, labels_sharding) for sharded placement.
+
+    Multi-host: when ``jax.process_count() > 1`` each host's batches are its
+    per-process shard of the global batch, so placement goes through
+    ``jax.make_array_from_process_local_data`` (SURVEY.md §2.6) instead of a
+    plain ``device_put``.
+
+    Loader exceptions (e.g. a corrupt image) are re-raised in the consumer —
+    never swallowed as a silently truncated epoch — and an early consumer
+    exit (exception mid-epoch) unblocks and stops the producer thread.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
 
-    def put(batch):
-        images, labels = batch
-        if dtype is not None:
-            images = images.astype(dtype)
+    def place(images, labels):
+        if _process_count() > 1:
+            assert isinstance(sharding, tuple), (
+                "multi-host placement needs explicit (images, labels) shardings"
+            )
+            return (
+                _make_global_array(sharding[0], images),
+                _make_global_array(sharding[1], labels),
+            )
         if sharding is None:
             return jax.device_put((images, labels))
         if isinstance(sharding, tuple):
@@ -192,17 +213,63 @@ def prefetch_to_device(
             )
         return jax.device_put((images, labels), sharding)
 
+    def put(batch):
+        images, labels = batch
+        if dtype is not None:
+            images = images.astype(dtype)
+        return place(images, labels)
+
+    def enqueue(item) -> bool:
+        """Blocking put that aborts when the consumer has gone away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
-        finally:
-            q.put(_END)
+                if not enqueue(put(batch)):
+                    return
+        except BaseException as e:  # re-raised in the consumer
+            enqueue(_Failure(e))
+        else:
+            enqueue(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, _Failure):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()
+        while True:  # drain so a blocked producer put() unblocks promptly
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
+class _Failure:
+    """Wraps a producer-side exception for re-raise in the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+# Indirections so tests can exercise the multi-host placement branch on a
+# single-process host (monkeypatched in tests/test_parallel.py).
+def _process_count() -> int:
+    return jax.process_count()
+
+
+def _make_global_array(sharding, local_data):
+    return jax.make_array_from_process_local_data(sharding, local_data)

@@ -3,15 +3,25 @@
 
 Layout: one orbax step directory per epoch holding the full TrainState pytree
 ({step, params, batch_stats, opt_state, rng}) plus scalar metadata
-{epoch, best_acc1}. Best-tracking mirrors the reference's ``model_best``
-copy-on-improvement; orbax gives atomic writes and ``max_to_keep`` garbage
-collection (strictly better than the reference's single mutable .pth.tar).
-Async-capable; rank-0 coordination is handled by orbax in multi-host runs.
+{epoch, best_acc1}. Two managers:
+
+  * the main manager keeps the **latest** ``max_to_keep`` checkpoints
+    (pure recency — ``restore()`` resumes exactly where training stopped);
+  * a ``best/`` sub-manager holds the single best-by-acc1 checkpoint —
+    the reference's ``model_best.pth.tar`` copy-on-improvement.
+
+Keeping the retention policies separate matters: a single manager with
+``best_fn`` + ``max_to_keep`` retains the best-N, so an interrupted run
+would silently resume from an old high-watermark epoch instead of the
+latest one. Orbax gives atomic writes and garbage collection (strictly
+better than the reference's single mutable .pth.tar); rank-0 coordination
+is handled by orbax in multi-host runs.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -21,17 +31,34 @@ from mnasnet_tpu.train.state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 track_best: bool = True):
         self._mgr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
-                best_fn=lambda m: m["acc1"],
-                best_mode="max",
-                keep_checkpoints_without_metrics=True,
                 create=True,
             ),
         )
+        self._best_mgr = None
+        if track_best:
+            self._best_mgr = ocp.CheckpointManager(
+                os.path.join(directory, "best"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1,
+                    create=True,
+                ),
+            )
+
+    @staticmethod
+    def _payload(epoch: int, state: TrainState, best_acc1: float) -> dict:
+        return {
+            "state": dataclasses.asdict(state),
+            "meta": {
+                "epoch": np.asarray(epoch, np.int32),
+                "best_acc1": np.asarray(best_acc1, np.float32),
+            },
+        }
 
     def save(
         self,
@@ -40,46 +67,46 @@ class CheckpointManager:
         acc1: float,
         best_acc1: float,
         wait: bool = False,
+        is_best: bool = False,
     ) -> None:
-        payload = {
-            "state": dataclasses.asdict(state),
-            "meta": {
-                "epoch": np.asarray(epoch, np.int32),
-                "best_acc1": np.asarray(best_acc1, np.float32),
-            },
-        }
+        payload = self._payload(epoch, state, best_acc1)
         self._mgr.save(
             epoch,
             args=ocp.args.StandardSave(payload),
             metrics={"acc1": float(acc1)},
         )
+        if is_best and self._best_mgr is not None:
+            self._best_mgr.save(epoch, args=ocp.args.StandardSave(payload))
         if wait:
-            self._mgr.wait_until_finished()
+            self.wait()
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()
 
     def best_epoch(self) -> Optional[int]:
-        return self._mgr.best_step()
+        if self._best_mgr is None:
+            return None
+        return self._best_mgr.latest_step()
 
     def restore(
-        self, state_template: TrainState, epoch: Optional[int] = None
+        self,
+        state_template: TrainState,
+        epoch: Optional[int] = None,
+        best: bool = False,
     ) -> tuple[TrainState, int, float]:
         """Returns (state, start_epoch, best_acc1); resumes the latest epoch
-        if ``epoch`` is None. The template supplies structure/dtypes/shardings
-        (a freshly created TrainState)."""
+        if ``epoch`` is None, or the best-by-acc1 one if ``best``. The
+        template supplies structure/dtypes/shardings (a freshly created
+        TrainState)."""
+        mgr = self._best_mgr if best else self._mgr
+        if best and mgr is None:
+            raise FileNotFoundError("no best-checkpoint tracking enabled")
         if epoch is None:
-            epoch = self._mgr.latest_step()
+            epoch = mgr.latest_step()
         if epoch is None:
             raise FileNotFoundError("no checkpoint to resume from")
-        template = {
-            "state": dataclasses.asdict(state_template),
-            "meta": {
-                "epoch": np.asarray(0, np.int32),
-                "best_acc1": np.asarray(0.0, np.float32),
-            },
-        }
-        restored = self._mgr.restore(
+        template = self._payload(0, state_template, 0.0)
+        restored = mgr.restore(
             epoch, args=ocp.args.StandardRestore(template)
         )
         state = TrainState(**restored["state"])
@@ -89,6 +116,10 @@ class CheckpointManager:
 
     def wait(self):
         self._mgr.wait_until_finished()
+        if self._best_mgr is not None:
+            self._best_mgr.wait_until_finished()
 
     def close(self):
         self._mgr.close()
+        if self._best_mgr is not None:
+            self._best_mgr.close()

@@ -13,7 +13,9 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
 
 from mnasnet_tpu.train.loss import cross_entropy, topk_correct
 from mnasnet_tpu.train.state import TrainState
@@ -50,6 +52,88 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **topk_correct(logits, labels)}
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_local_bn_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    label_smoothing: float = 0.1,
+    *,
+    mesh,
+) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
+    """Train step with **per-device BN batch statistics** (``--no-sync-bn``).
+
+    This is the reference's actual DDP behavior (SURVEY.md §2.5): each
+    replica normalizes with the statistics of its own batch shard; only
+    gradients cross devices. Implemented with ``shard_map`` over the 'data'
+    axis — inside the mapped function every array is the local shard, so the
+    model's BN sees only local samples. Gradients/loss/metrics are combined
+    with explicit ``psum``; the running-stats EMA is updated with the
+    cross-replica *mean* of the local batch stats so the state stays
+    replicated (strictly better than the reference, which checkpoints
+    rank-0's local stats).
+    """
+    if mesh.shape.get("spatial", 1) != 1:
+        raise ValueError("local-BN path requires spatial mesh axis of size 1")
+
+    def per_shard(params, batch_stats, images, labels, step_rng):
+        # Distinct dropout masks per replica, like DDP's per-process RNG.
+        rng = jax.random.fold_in(step_rng, jax.lax.axis_index("data"))
+
+        def loss_fn(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            count = jnp.sum(labels >= 0)
+            loss = cross_entropy(logits, labels, label_smoothing)
+            return loss, (logits, mutated["batch_stats"], count)
+
+        (loss, (logits, new_stats, count)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        # Valid-count-weighted combine: exact global mean even if a tail
+        # shard carries padding (train uses drop_last, so usually equal).
+        total = jnp.maximum(jax.lax.psum(count, "data"), 1)
+        weight = count.astype(jnp.float32) / total.astype(jnp.float32)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g * weight.astype(g.dtype), "data"), grads
+        )
+        loss = jax.lax.psum(loss * weight, "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        metrics = jax.tree.map(
+            lambda x: jax.lax.psum(x, "data"), topk_correct(logits, labels)
+        )
+        return grads, new_stats, loss, metrics
+
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def train_step(state: TrainState, images: jax.Array, labels: jax.Array):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        grads, new_stats, loss, counts = sharded(
+            state.params, state.batch_stats, images, labels, step_rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **counts}
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

@@ -29,7 +29,11 @@ from mnasnet_tpu.parallel.mesh import (
 )
 from mnasnet_tpu.data.pipeline import prefetch_to_device
 from mnasnet_tpu.train.state import TrainState
-from mnasnet_tpu.train.steps import make_eval_step, make_train_step
+from mnasnet_tpu.train.steps import (
+    make_eval_step,
+    make_local_bn_train_step,
+    make_train_step,
+)
 from mnasnet_tpu.utils.meters import AverageMeter, ProgressMeter
 
 
@@ -46,6 +50,7 @@ class Trainer:
         print_freq: int = 10,
         writer=None,
         step_tracer=None,
+        sync_bn: bool = True,
     ):
         self.model = model
         self.tx = tx
@@ -56,11 +61,21 @@ class Trainer:
         self.print_freq = print_freq
         self.writer = writer
         self.step_tracer = step_tracer
+        self.sync_bn = sync_bn
 
         repl = replicated(self.mesh)
         data_in = (batch_sharding(self.mesh), label_sharding(self.mesh))
+        if sync_bn:
+            # Global-batch math; GSPMD makes BN stats global (= sync-BN).
+            step_fn = make_train_step(model, tx, label_smoothing)
+        else:
+            # Per-device BN stats via shard_map — the reference's DDP
+            # behavior (--no-sync-bn).
+            step_fn = make_local_bn_train_step(
+                model, tx, label_smoothing, mesh=self.mesh
+            )
         self._train_step = jax.jit(
-            make_train_step(model, tx, label_smoothing),
+            step_fn,
             donate_argnums=(0,),
             in_shardings=(repl, *data_in),
             out_shardings=(repl, repl),
@@ -142,19 +157,37 @@ class Trainer:
     # ------------------------------------------------------------------ eval
     def validate(self, state: TrainState, loader, *, verbose: bool = True):
         """Top-1/top-5 over the val set (running-stats BN) — the reference's
-        ``validate()``. Returns (top1%, top5%, loss)."""
+        ``validate()``, including its per-batch ``--print-freq`` progress
+        meters (SURVEY.md §3.2). Returns (top1%, top5%, loss)."""
+        batch_time = AverageMeter("Time", ":6.3f")
+        losses = AverageMeter("Loss", ":.4e")
+        top1 = AverageMeter("Acc@1", ":6.2f")
+        top5 = AverageMeter("Acc@5", ":6.2f")
+        progress = ProgressMeter(
+            loader.steps_per_epoch(), [batch_time, losses, top1, top5],
+            prefix="Test: ",
+        )
         total = {"loss": 0.0, "top1": 0, "top5": 0, "count": 0}
         shardings = (batch_sharding(self.mesh), label_sharding(self.mesh))
         it = prefetch_to_device(
             loader.epoch(0), sharding=shardings, dtype=self.compute_dtype
         )
-        for images, labels in it:
+        end = time.perf_counter()
+        for i, (images, labels) in enumerate(it):
             m = self._eval_step(state.params, state.batch_stats, images, labels)
             n = int(m["count"])
             total["loss"] += float(m["loss"]) * n
             total["top1"] += int(m["top1"])
             total["top5"] += int(m["top5"])
             total["count"] += n
+            if n:
+                losses.update(float(m["loss"]), n)
+                top1.update(100.0 * float(m["top1"]) / n, n)
+                top5.update(100.0 * float(m["top5"]) / n, n)
+            batch_time.update(time.perf_counter() - end)
+            end = time.perf_counter()
+            if verbose and i % self.print_freq == 0:
+                progress.display(i)
         c = max(total["count"], 1)
         acc1 = 100.0 * total["top1"] / c
         acc5 = 100.0 * total["top5"] / c

@@ -47,3 +47,70 @@ def test_cli_resume_and_evaluate(outdir, capsys):
     out = capsys.readouterr().out
     assert "resumed from epoch 0" in out
     assert "Acc@1" in out
+
+
+def test_cli_no_sync_bn_trains(outdir, capsys, tmp_path_factory):
+    out2 = str(tmp_path_factory.mktemp("cli_nosyncbn"))
+    _run([*BASE, "--epochs", "1", "--no-sync-bn", "--output-dir", out2])
+    out = capsys.readouterr().out
+    assert "epoch 0:" in out
+
+
+def test_cli_deterministic_flag_resolution():
+    sys.path.insert(0, REPO)
+    try:
+        import importlib
+        train_mod = importlib.import_module("train")
+    finally:
+        sys.path.remove(REPO)
+    args = train_mod.parse_args(["--synthetic", "--deterministic"])
+    assert args.seed == 0
+    assert args.bn_stats == "two_pass"
+    args2 = train_mod.parse_args(["--synthetic", "--deterministic",
+                                  "--seed", "7"])
+    assert args2.seed == 7
+    # bare --pretrained (reference boolean form) parses
+    args3 = train_mod.parse_args(["--synthetic", "--pretrained"])
+    assert args3.pretrained == "__auto__"
+    # --no-sync-bn / --no-scale-lr surface
+    args4 = train_mod.parse_args(["--synthetic", "--no-sync-bn",
+                                  "--no-scale-lr"])
+    assert args4.sync_bn is False and args4.scale_lr is False
+
+
+def test_cli_deterministic_runs_bitwise_identical(tmp_path_factory, capsys):
+    """--deterministic end-to-end: two fresh runs produce bit-identical
+    parameters (SURVEY.md §5.2)."""
+    import jax
+    import numpy as np
+
+    from mnasnet_tpu import create_model
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+    from mnasnet_tpu.train.optim import create_optimizer
+    from mnasnet_tpu.train.state import TrainState
+
+    dirs = [str(tmp_path_factory.mktemp(f"cli_det{i}")) for i in range(2)]
+    for d in dirs:
+        _run([*BASE[:-2], "--deterministic", "--epochs", "1",
+              "--output-dir", d])
+    capsys.readouterr()
+
+    import jax.numpy as jnp
+    model = create_model("mnasnet0_35", num_classes=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    tx = create_optimizer("rmsprop", 0.01)
+    params = []
+    for d in dirs:
+        template = TrainState.create(
+            variables["params"], variables["batch_stats"], tx,
+            jax.random.PRNGKey(0),
+        )
+        state, _, _ = CheckpointManager(d).restore(template)
+        params.append(state.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        params[0], params[1],
+    )

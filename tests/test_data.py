@@ -190,3 +190,78 @@ def test_loader_native_bytes_path(tmp_path):
     (pi, pl_), (ni, nl) = next(iter(pil.epoch(0))), next(iter(nat.epoch(0)))
     np.testing.assert_array_equal(pl_, nl)
     assert float(np.abs(pi - ni).max()) < 0.05  # ~2/255 in normalized units
+
+
+# --------------------------------------------------------------- robustness
+def test_prefetch_propagates_loader_exception():
+    """A loader failure must surface in the training loop, not end the epoch
+    silently (ADVICE r1: silent epoch truncation)."""
+    from mnasnet_tpu.data.pipeline import prefetch_to_device
+
+    def gen():
+        yield (np.zeros((2, 8, 8, 3), np.float32), np.zeros((2,), np.int32))
+        raise ValueError("corrupt JPEG")
+
+    it = prefetch_to_device(gen())
+    next(it)
+    with pytest.raises(ValueError, match="corrupt JPEG"):
+        next(it)
+
+
+def test_prefetch_early_exit_stops_producer():
+    """Breaking out of the epoch mid-way must unblock and stop the producer
+    thread (no leaked thread holding loader resources)."""
+    import threading
+
+    from mnasnet_tpu.data.pipeline import prefetch_to_device
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield (np.zeros((1, 4, 4, 3), np.float32), np.zeros((1,), np.int32))
+
+    before = threading.active_count()
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    it.close()  # consumer abandons the epoch
+    # producer must stop promptly (bounded by its 0.1s put timeout)
+    deadline = __import__("time").time() + 5.0
+    while threading.active_count() > before and __import__("time").time() < deadline:
+        __import__("time").sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 100, "producer should not have drained the epoch"
+
+
+def test_loader_falls_back_to_pil_on_bytes_failure():
+    """Per-image PIL fallback when the native bytes path rejects a JPEG
+    (e.g. CMYK) — ADVICE r1."""
+
+    class BytesDataset:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def load_bytes(self, index):
+            return b"not a jpeg", index % 3
+
+        def load(self, index):
+            return Image.fromarray(
+                np.full((8, 8, 3), index, np.uint8)
+            ), index % 3
+
+    def bad_bytes_transform(data):
+        raise ValueError("corrupt JPEG")
+
+    dl = DataLoader(
+        BytesDataset(4), batch_size=4, transform=_tiny_transform,
+        workers=0, augment=False, bytes_transform=bad_bytes_transform,
+    )
+    images, labels = next(iter(dl.epoch(0)))
+    assert images.shape == (4, 8, 8, 3)
+    np.testing.assert_array_equal(labels, [0, 1, 2, 0])
+    # pixels prove the PIL path ran (index-valued images, /255 then normalized)
+    assert not np.isnan(images).any()

@@ -147,3 +147,151 @@ def test_replicated_state_on_all_devices():
     repl = replicate_state(mesh, tree)
     assert len(repl["w"].addressable_shards) == 8
     assert repl["w"].addressable_shards[0].data.shape == (4, 4)
+
+
+def _trainers_for_bn_modes(dropout=0.0):
+    """(sync_bn trainer, local-BN trainer) on the full 8-device mesh."""
+    model = MNASNet(alpha=0.35, num_classes=8, dropout=dropout,
+                    dw_impl="xla", precision="highest", bn_stats="two_pass")
+    tx = create_optimizer("sgd", 0.1, weight_decay=0.0)
+    mesh = make_mesh(jax.devices())
+    mk = lambda sync: Trainer(model, tx, mesh=mesh, label_smoothing=0.1,
+                              print_freq=1000, sync_bn=sync)
+    return mk(True), mk(False)
+
+
+def test_local_bn_normalizes_with_shard_stats():
+    """--no-sync-bn unit semantics: under shard_map, BatchNorm must
+    normalize each shard with its OWN statistics (the reference's per-GPU
+    DDP behavior), verified against a numpy per-shard oracle. (A full-model
+    logits comparison is not usable here: at 1x1 feature maps BN reduces
+    over 2 values, and the net is chaotically sensitive — measured drift
+    persists even in fp64.)"""
+    from jax.sharding import PartitionSpec as P
+
+    from mnasnet_tpu.models.layers import BatchNorm
+
+    mesh = make_mesh(jax.devices())
+    bn = BatchNorm(features=8, stats="two_pass")
+    variables = bn.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 4, 8)),
+                        use_running_average=False)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((16, 4, 4, 8)).astype(np.float32)
+    # make shard distributions very different
+    x += np.arange(16, dtype=np.float32)[:, None, None, None]
+
+    def per_shard(v, xs):
+        y, mut = bn.apply(v, xs, use_running_average=False,
+                          mutable=["batch_stats"])
+        return y, jax.lax.pmean(mut["batch_stats"], "data")
+
+    sharded = jax.shard_map(
+        per_shard, mesh=mesh, in_specs=(P(), P("data")),
+        out_specs=(P("data"), P()), check_vma=False,
+    )
+    y, stats = jax.jit(sharded)(variables, jnp.asarray(x))
+    y = np.asarray(y)
+
+    shard_means = []
+    for i in range(8):  # numpy oracle, shard by shard
+        xs = x[2 * i:2 * i + 2]
+        m = xs.mean(axis=(0, 1, 2))
+        v = xs.var(axis=(0, 1, 2))
+        expect = (xs - m) / np.sqrt(v + 1e-5)
+        np.testing.assert_allclose(y[2 * i:2 * i + 2], expect, atol=1e-5)
+        shard_means.append(m)
+    # running stats: EMA toward the cross-shard MEAN of local batch means
+    expect_mean = 0.9997 * 0.0 + 0.0003 * np.mean(shard_means, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), expect_mean, atol=1e-7
+    )
+
+
+def test_local_bn_step_plumbing_matches_sync_on_replicated_shards():
+    """Full local-BN train step vs sync step when every device's shard holds
+    the SAME two samples: per-shard stats equal global stats, so the two
+    paths compute the same math. Compared via update-vector norms at 64px
+    (same methodology/tolerance as test_ddp_equivalence: per-element
+    equality is ill-conditioned — BN's 1/sigma amplifies fp reduction-order
+    noise between differently-compiled programs, pathologically so at 1x1
+    feature maps)."""
+    img = 64
+    model = MNASNet(alpha=0.35, num_classes=8, dropout=0.0,
+                    dw_impl="xla", precision="highest", bn_stats="two_pass")
+    tx = create_optimizer("sgd", 0.1, weight_decay=0.0)
+    mesh = make_mesh(jax.devices())
+    rng = np.random.default_rng(1)
+    shard = rng.standard_normal((2, img, img, 3)).astype(np.float32)
+    images = np.tile(shard, (8, 1, 1, 1))  # shard i == shard j
+    labels = np.tile(np.asarray([3, 5], np.int32), 8)
+
+    outs = []
+    for sync in (True, False):
+        tr = Trainer(model, tx, mesh=mesh, label_smoothing=0.1,
+                     print_freq=1000, sync_bn=sync)
+        state = tr.create_state(jax.random.PRNGKey(0), img)
+        state, metrics = tr._train_step(
+            state, jnp.asarray(images), jnp.asarray(labels)
+        )
+        outs.append((state, metrics))
+    (s_sync, m_sync), (s_local, m_local) = outs
+    np.testing.assert_allclose(
+        float(m_sync["loss"]), float(m_local["loss"]), rtol=1e-3
+    )
+    assert int(m_sync["count"]) == int(m_local["count"]) == 16
+
+    p0 = model.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, img, img, 3)), train=False)["params"]
+
+    def flat(tree):
+        return np.concatenate(
+            [np.ravel(np.asarray(x)) for x in jax.tree.leaves(tree)]
+        )
+
+    d_sync = flat(s_sync.params) - flat(p0)
+    d_local = flat(s_local.params) - flat(p0)
+    rel = np.linalg.norm(d_sync - d_local) / np.linalg.norm(d_sync)
+    assert rel < 0.02, f"update vectors diverge: {rel:.4f}"
+
+
+def test_local_bn_differs_from_sync_on_distinct_shards():
+    """--no-sync-bn must change observable behavior: with different data per
+    shard, per-device normalization diverges from global-batch
+    normalization (this is the real DDP-vs-syncBN difference)."""
+    sync_tr, local_tr = _trainers_for_bn_modes(dropout=0.0)
+    images, labels = _data(16)
+    # Push shard means far apart so the local/global stat gap is macroscopic.
+    images = images + np.arange(16, dtype=np.float32)[:, None, None, None]
+
+    losses = []
+    for tr in (sync_tr, local_tr):
+        state = tr.create_state(jax.random.PRNGKey(0), IMG)
+        _, metrics = tr._train_step(
+            state, jnp.asarray(images), jnp.asarray(labels)
+        )
+        losses.append(float(metrics["loss"]))
+    assert abs(losses[0] - losses[1]) > 1e-4, losses
+
+
+def test_multihost_placement_branch(monkeypatch):
+    """prefetch_to_device must route through
+    jax.make_array_from_process_local_data when process_count > 1 — a plain
+    device_put would misplace host-local shards (SURVEY.md §2.6)."""
+    from mnasnet_tpu.data import pipeline as pl
+
+    mesh = make_mesh(jax.devices())
+    shardings = (batch_sharding(mesh), label_sharding(mesh))
+    calls = []
+
+    def fake_make_global(sharding, local):
+        calls.append(local.shape)
+        return jax.device_put(local, sharding)  # stand-in placement
+
+    monkeypatch.setattr(pl, "_process_count", lambda: 2)
+    monkeypatch.setattr(pl, "_make_global_array", fake_make_global)
+
+    batches = iter([(np.zeros((16, IMG, IMG, 3), np.float32),
+                     np.zeros((16,), np.int32))])
+    out = list(pl.prefetch_to_device(batches, sharding=shardings))
+    assert len(out) == 1
+    assert calls == [(16, IMG, IMG, 3), (16,)]

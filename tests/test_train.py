@@ -78,6 +78,34 @@ def test_checkpoint_roundtrip_bitwise(tiny_setup, tmp_path):
     mgr.close()
 
 
+def test_checkpoint_keeps_latest_and_best(tiny_setup, tmp_path):
+    """Retention policy (ADVICE r1): the main manager keeps the LATEST N so
+    resume never rolls back to an old high-watermark; the best checkpoint is
+    tracked separately (the reference's model_best)."""
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+
+    model, tx, trainer, loader = tiny_setup
+    state = trainer.create_state(jax.random.PRNGKey(4), IMG)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
+    accs = [10.0, 30.0, 20.0, 15.0, 5.0]  # acc declines after epoch 1
+    best = 0.0
+    for epoch, acc in enumerate(accs):
+        is_best = acc > best
+        best = max(best, acc)
+        mgr.save(epoch, state, acc, best, wait=True, is_best=is_best)
+
+    assert mgr.latest_epoch() == 4, "resume must use the newest checkpoint"
+    assert mgr.best_epoch() == 1, "model_best must be the acc1 argmax"
+
+    template = trainer.create_state(jax.random.PRNGKey(5), IMG)
+    _, start_epoch, best_acc1 = mgr.restore(template)
+    assert start_epoch == 5 and best_acc1 == 30.0
+    _, best_start, _ = mgr.restore(template, best=True)
+    assert best_start == 2
+    mgr.close()
+
+
 def test_eval_step_uses_running_stats(tiny_setup):
     model, tx, trainer, loader = tiny_setup
     state = trainer.create_state(jax.random.PRNGKey(3), IMG)

@@ -39,8 +39,10 @@ def parse_args(argv=None):
     p.add_argument("-p", "--print-freq", type=int, default=10)
     p.add_argument("--resume", default="", help="resume from checkpoint dir")
     p.add_argument("-e", "--evaluate", action="store_true")
-    p.add_argument("--pretrained", default="",
-                   help="path to a converted-or-torch checkpoint to load")
+    p.add_argument("--pretrained", nargs="?", const="__auto__", default="",
+                   help="path to a converted-or-torch checkpoint to load; "
+                        "bare --pretrained (reference boolean form) looks for "
+                        "$MNASNET_PRETRAINED_DIR/<arch>.pth")
     p.add_argument("--seed", type=int, default=None)
     # --- reference CLI-contract compatibility (SURVEY.md §5.6) ---
     # Accepted so reference launch scripts run unchanged; distribution is
@@ -81,10 +83,19 @@ def parse_args(argv=None):
     p.add_argument("--save-freq-steps", type=int, default=0,
                    help="also checkpoint every N steps (0 = epoch-only, the "
                         "reference's cadence)")
-    p.add_argument("--sync-bn", action="store_true", default=True,
-                   help="global BN stats across devices (GSPMD default)")
+    p.add_argument("--sync-bn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="global BN stats across devices (default); "
+                        "--no-sync-bn uses per-device batch stats like the "
+                        "reference's DDP (shard_map path)")
+    p.add_argument("--scale-lr", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="linear batch-size LR scaling (lr * batch/256); "
+                        "default: applied only to the optimizer-default LR, "
+                        "never to an explicit --lr")
     p.add_argument("--deterministic", action="store_true",
-                   help="fixed seeds + drop_last for bit-reproducible runs")
+                   help="bit-reproducible runs: seed=0 unless --seed given, "
+                        "two-pass BN stats (bitwise cross-mesh exact)")
     # --- env-specific ---
     p.add_argument("--decoder", choices=["pil", "native", "native-fast"],
                    default="native-fast",
@@ -101,17 +112,54 @@ def parse_args(argv=None):
                    help="N:M — jax.profiler trace of train steps N..M (epoch 0)")
     p.add_argument("--tensorboard", default="",
                    help="TensorBoard log dir (empty = off)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.deterministic:
+        if args.seed is None:
+            args.seed = 0
+        # two-pass BN batch statistics are bitwise identical across mesh
+        # shapes (one-pass regroups the reduction); pin them for bit-repro.
+        args.bn_stats = "two_pass"
+    return args
+
+
+def maybe_init_distributed(args) -> None:
+    """Multi-host bootstrap (SURVEY.md §2.6): the reference's
+    ``init_process_group(dist_url, world_size, rank)`` maps directly onto
+    ``jax.distributed.initialize``. Also honors the standard JAX coordinator
+    env vars so TPU-pod launchers work without flags."""
+    import jax
+
+    if args.dist_url and args.world_size > 1:
+        addr = args.dist_url
+        for prefix in ("tcp://", "env://"):
+            addr = addr.removeprefix(prefix)
+        jax.distributed.initialize(
+            coordinator_address=addr or None,
+            num_processes=args.world_size,
+            process_id=args.rank if args.rank >= 0 else None,
+        )
+    elif os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
 
 
 def main(argv=None):
     args = parse_args(argv)
-    if args.seed is None and args.deterministic:
-        args.seed = 0
-    seed = args.seed if args.seed is not None else int(time.time()) % (2**31)
 
     import jax
     import jax.numpy as jnp
+
+    maybe_init_distributed(args)
+
+    seed = args.seed if args.seed is not None else int(time.time()) % (2**31)
+    if args.seed is None and jax.process_count() > 1:
+        # Hosts can land on different seconds; shard_indices' contract needs
+        # an identical shuffle permutation everywhere (ADVICE r1).
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        seed = int(multihost_utils.broadcast_one_to_all(np.int32(seed)))
 
     from mnasnet_tpu import create_model
     from mnasnet_tpu.data.dataset import ImageFolderDataset, SyntheticDataset
@@ -194,7 +242,13 @@ def main(argv=None):
     base_lr = args.lr
     if base_lr is None:
         base_lr = 0.1 if args.optimizer == "sgd" else 0.016
-    base_lr = scale_lr_for_batch(base_lr, args.batch_size)
+        scale = args.scale_lr is not False  # default LR scales unless --no-scale-lr
+    else:
+        # An explicit --lr is the literal base LR (reference CLI semantics);
+        # scale it only on explicit --scale-lr.
+        scale = args.scale_lr is True
+    if scale:
+        base_lr = scale_lr_for_batch(base_lr, args.batch_size)
     schedule = make_schedule(
         args.lr_schedule, base_lr, steps_per_epoch, args.epochs,
         warmup_epochs=args.warmup_epochs,
@@ -223,7 +277,7 @@ def main(argv=None):
     trainer = Trainer(
         model, tx, mesh=mesh, label_smoothing=args.label_smoothing,
         compute_dtype=dtype, schedule=schedule, print_freq=args.print_freq,
-        writer=writer, step_tracer=step_tracer,
+        writer=writer, step_tracer=step_tracer, sync_bn=args.sync_bn,
     )
     state = trainer.create_state(jax.random.PRNGKey(seed), args.image_size)
 
@@ -233,6 +287,20 @@ def main(argv=None):
         from mnasnet_tpu.models.mnasnet import MODEL_REGISTRY
 
         alpha = model.alpha
+        if args.pretrained == "__auto__":
+            # Reference boolean form (--pretrained with no path). No network
+            # in the TPU env, so resolve against a local weights directory.
+            pdir = os.environ.get("MNASNET_PRETRAINED_DIR", "./pretrained")
+            for ext in (".pth", ".pth.tar", ".pt"):
+                cand = os.path.join(pdir, args.arch + ext)
+                if os.path.exists(cand):
+                    args.pretrained = cand
+                    break
+            else:
+                raise SystemExit(
+                    f"--pretrained: no {args.arch}.pth under {pdir} "
+                    "(set MNASNET_PRETRAINED_DIR or pass an explicit path)"
+                )
         if args.pretrained.endswith((".pth", ".pth.tar", ".pt")):
             import torch
 
@@ -264,7 +332,7 @@ def main(argv=None):
     if args.save_freq_steps > 0 and jax.process_index() == 0:
         step_mgr = CheckpointManager(
             os.path.abspath(os.path.join(args.output_dir, "steps")),
-            max_to_keep=2,
+            max_to_keep=2, track_best=False,
         )
 
         def step_cb(state, global_step):
@@ -280,7 +348,7 @@ def main(argv=None):
         is_best = acc1 > best_acc1
         best_acc1 = max(acc1, best_acc1)
         if jax.process_index() == 0:
-            mgr.save(epoch, state, acc1, best_acc1)
+            mgr.save(epoch, state, acc1, best_acc1, is_best=is_best)
             print(
                 f"epoch {epoch}: acc1={acc1:.3f} acc5={acc5:.3f} "
                 f"best={best_acc1:.3f}{' *' if is_best else ''} "
