@@ -97,6 +97,16 @@ class BatchNorm(nn.Module):
     #   "two_pass": var = E[(x−m)²] — exact; used by the DDP-equivalence
     #     tests and available for numerically paranoid runs.
     stats: str = "one_pass"
+    # Running-stat EMA placement:
+    #   "module":   r = momentum·r + (1−momentum)·b inside apply — one tiny
+    #     XLA op per BN layer (torch-faithful, safe for direct module users).
+    #   "external": the module stores the RAW batch stats (Bessel-corrected
+    #     var) into batch_stats; the train step applies the EMA once over the
+    #     whole flattened stats tree (train/steps.py) — kills ~100 tiny
+    #     fusions + their HBM↔VMEM spill copies per step (profiled 11% of the
+    #     step at bs128, see BASELINE.md). Only valid under a step that does
+    #     the EMA; Trainer/bench wire it automatically.
+    ema: str = "module"
 
     def setup(self):
         f = (self.features,)
@@ -131,13 +141,17 @@ class BatchNorm(nn.Module):
                 for a in reduce_axes:
                     n *= x.shape[a]
                 bessel = n / max(n - 1, 1)
-                self.mean.value = (
-                    self.momentum * self.mean.value + (1.0 - self.momentum) * mean
-                )
-                self.var.value = (
-                    self.momentum * self.var.value
-                    + (1.0 - self.momentum) * var * bessel
-                )
+                if self.ema == "external":
+                    self.mean.value = mean
+                    self.var.value = var * bessel
+                else:
+                    self.mean.value = (
+                        self.momentum * self.mean.value + (1.0 - self.momentum) * mean
+                    )
+                    self.var.value = (
+                        self.momentum * self.var.value
+                        + (1.0 - self.momentum) * var * bessel
+                    )
         # y = x * (γ / sqrt(v+ε)) + (β − m·γ/sqrt(v+ε)); factors in fp32,
         # applied in compute dtype so XLA fuses it into the producing conv.
         inv = self.scale * jax.lax.rsqrt(var + self.epsilon)

@@ -70,6 +70,7 @@ class InvertedResidual(nn.Module):
     dw_impl: str = "auto"
     precision: Any = None
     bn_stats: str = "one_pass"
+    bn_ema: str = "module"
 
     def setup(self):
         mid = self.in_ch * self.expansion
@@ -78,17 +79,17 @@ class InvertedResidual(nn.Module):
             self.in_ch, mid, dtype=self.dtype, precision=self.precision,
             name="expand_conv",
         )
-        self.expand_bn = BatchNorm(mid, dtype=self.dtype, stats=self.bn_stats, name="expand_bn")
+        self.expand_bn = BatchNorm(mid, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="expand_bn")
         self.dw_kernel = self.param(
             "dw_kernel", conv_kernel_init,
             (self.kernel_size, self.kernel_size, 1, mid), jnp.float32,
         )
-        self.dw_bn = BatchNorm(mid, dtype=self.dtype, stats=self.bn_stats, name="dw_bn")
+        self.dw_bn = BatchNorm(mid, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="dw_bn")
         self.project_conv = PointwiseConv(
             mid, self.out_ch, dtype=self.dtype, precision=self.precision,
             name="project_conv",
         )
-        self.project_bn = BatchNorm(self.out_ch, dtype=self.dtype, stats=self.bn_stats, name="project_bn")
+        self.project_bn = BatchNorm(self.out_ch, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="project_bn")
 
     def _use_fused_block(self, x: jax.Array, train: bool) -> bool:
         """Route to the single-kernel fused MBConv (ops/pallas/mbconv.py) —
@@ -168,6 +169,10 @@ class MNASNet(nn.Module):
     # BN batch-statistics formulation: "one_pass" (+17% train step, default)
     # or "two_pass" (bitwise cross-mesh exact) — see models/layers.py.
     bn_stats: str = "one_pass"
+    # BN running-stat EMA placement: "module" (per-layer, torch-faithful) or
+    # "external" (raw batch stats out; the train step EMAs the whole flat
+    # stats tree in one fusion — see models/layers.py + train/steps.py).
+    bn_ema: str = "module"
 
     def setup(self):
         d = get_depths(self.alpha)
@@ -177,16 +182,16 @@ class MNASNet(nn.Module):
             use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype,
             precision=self.precision, name="stem_conv",
         )
-        self.stem_bn = BatchNorm(d[0], dtype=self.dtype, stats=self.bn_stats, name="stem_bn")
+        self.stem_bn = BatchNorm(d[0], dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="stem_bn")
         self.sep_dw_kernel = self.param(
             "sep_dw_kernel", conv_kernel_init, (3, 3, 1, d[0]), jnp.float32
         )
-        self.sep_dw_bn = BatchNorm(d[0], dtype=self.dtype, stats=self.bn_stats, name="sep_dw_bn")
+        self.sep_dw_bn = BatchNorm(d[0], dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="sep_dw_bn")
         self.sep_pw_conv = nn.Conv(
             d[1], (1, 1), use_bias=False, kernel_init=conv_kernel_init,
             dtype=self.dtype, precision=self.precision, name="sep_pw_conv",
         )
-        self.sep_pw_bn = BatchNorm(d[1], dtype=self.dtype, stats=self.bn_stats, name="sep_pw_bn")
+        self.sep_pw_bn = BatchNorm(d[1], dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="sep_pw_bn")
 
         block_cls = InvertedResidual
         if self.remat:
@@ -208,6 +213,7 @@ class MNASNet(nn.Module):
                         dw_impl=self.dw_impl,
                         precision=self.precision,
                         bn_stats=self.bn_stats,
+                        bn_ema=self.bn_ema,
                         name=f"stage{s}_block{j}",
                     )
                 )
@@ -218,7 +224,7 @@ class MNASNet(nn.Module):
             1280, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
             dtype=self.dtype, precision=self.precision, name="head_conv",
         )
-        self.head_bn = BatchNorm(1280, dtype=self.dtype, stats=self.bn_stats, name="head_bn")
+        self.head_bn = BatchNorm(1280, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="head_bn")
         self.classifier = nn.Dense(
             self.num_classes, kernel_init=dense_kernel_init,
             bias_init=nn.initializers.zeros, dtype=self.dtype,

@@ -74,18 +74,119 @@ def _wd_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+# --------------------------------------------------------------------------
+# Fused flat updates (TPU small-tensor optimization).
+#
+# The model has ~160 parameter leaves, over 100 of which are tiny per-channel
+# BN vectors (16..1280 floats). Updating each leaf as its own XLA op makes the
+# step tail a swarm of 1-element-iteration fusions plus HBM↔VMEM spill copies
+# of 128-byte arrays — measured 1.7 ms/step (11%) at bs128 on v5e
+# (tools/profile_step.py, BASELINE.md). Packing all leaves into two flat fp32
+# vectors — one for weight-decayed kernels, one for the BN/bias group — turns
+# the whole optimizer update into a handful of large elementwise fusions. The
+# per-element math is IDENTICAL (elementwise ops commute with concatenation),
+# so this is bitwise-equivalent per parameter, not an approximation.
+# --------------------------------------------------------------------------
+
+
+def _flat_groups(tree, small_only: bool):
+    """Leaf partition: group key per leaf, or None to leave it unpacked.
+
+    ``small_only`` packs just the 1-D per-channel leaves (BN scale/bias,
+    dense bias — all wd-excluded), leaving conv kernels on the normal
+    per-leaf path; otherwise every leaf is packed into its wd group.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    marks = jax.tree.leaves(_wd_mask(tree))
+    keys = []
+    for leaf, m in zip(leaves, marks):
+        if small_only and (leaf.ndim != 1):
+            keys.append(None)
+        else:
+            keys.append("decay" if m else "no_decay")
+    return leaves, treedef, keys
+
+
+def pack_flat(tree, small_only: bool = False) -> dict:
+    """Pack a params-shaped pytree into {'decay': vec, 'no_decay': vec,
+    'rest': [unpacked leaves...]}."""
+    leaves, _, keys = _flat_groups(tree, small_only)
+    groups = {"decay": [], "no_decay": []}
+    rest = []
+    for leaf, key in zip(leaves, keys):
+        if key is None:
+            rest.append(leaf)
+        else:
+            groups[key].append(leaf.ravel())
+    z = jnp.zeros((0,), jnp.float32)
+    return {
+        "decay": jnp.concatenate(groups["decay"]) if groups["decay"] else z,
+        "no_decay": jnp.concatenate(groups["no_decay"]) if groups["no_decay"] else z,
+        "rest": rest,
+    }
+
+
+def unpack_flat(packed: dict, template, small_only: bool = False):
+    """Inverse of :func:`pack_flat` (shapes/partition from ``template``)."""
+    leaves, treedef, keys = _flat_groups(template, small_only)
+    out, offs, ri = [], {"decay": 0, "no_decay": 0}, 0
+    for leaf, key in zip(leaves, keys):
+        if key is None:
+            out.append(packed["rest"][ri])
+            ri += 1
+        else:
+            off = offs[key]
+            out.append(packed[key][off:off + leaf.size].reshape(leaf.shape))
+            offs[key] = off + leaf.size
+    return jax.tree.unflatten(treedef, out)
+
+
+def _flat_mask(template, small_only: bool):
+    _, _, keys = _flat_groups(template, small_only)
+    marks = jax.tree.leaves(_wd_mask(template))
+    rest_mask = [m for m, k in zip(marks, keys) if k is None]
+    return {"decay": True, "no_decay": False, "rest": rest_mask}
+
+
+def fused_flat(make_inner, small_only: bool = False) -> optax.GradientTransformation:
+    """Wrap ``make_inner(mask) -> GradientTransformation`` to run on packed
+    flat vectors. The returned transformation still consumes/produces the
+    original pytree structure; only the internal math (and the optimizer
+    state, which becomes vectors per packed group) is flattened."""
+    inner_cache = {}
+
+    def get_inner(template):
+        key = "inner"
+        if key not in inner_cache:
+            inner_cache[key] = make_inner(_flat_mask(template, small_only))
+        return inner_cache[key]
+
+    def init_fn(params):
+        return get_inner(params).init(pack_flat(params, small_only))
+
+    def update_fn(updates, state, params=None):
+        inner = get_inner(updates)
+        packed_updates = pack_flat(updates, small_only)
+        packed_params = pack_flat(params, small_only) if params is not None else None
+        out, new_state = inner.update(packed_updates, state, packed_params)
+        return unpack_flat(out, updates, small_only), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def sgd(
     learning_rate: ScalarOrSchedule,
     momentum: float = 0.9,
     weight_decay: float = 1e-5,
     nesterov: bool = False,
+    mask=_wd_mask,
 ) -> optax.GradientTransformation:
     """SGD+momentum with coupled, masked weight decay (torch semantics:
     ``g = g + wd·p`` before the momentum update)."""
     parts = []
     if weight_decay:
         parts.append(
-            optax.masked(optax.add_decayed_weights(weight_decay), _wd_mask)
+            optax.masked(optax.add_decayed_weights(weight_decay), mask)
         )
     parts.append(optax.trace(decay=momentum, nesterov=nesterov))
     parts.append(optax.scale_by_learning_rate(learning_rate))
@@ -98,6 +199,7 @@ def rmsprop_tf(
     momentum: float = 0.9,
     eps: float = 1e-3,
     weight_decay: float = 1e-5,
+    mask=_wd_mask,
 ) -> optax.GradientTransformation:
     """TF-semantics RMSProp of the MnasNet paper recipe.
 
@@ -138,7 +240,7 @@ def rmsprop_tf(
     inner = optax.GradientTransformation(init_fn, update_fn)
     if weight_decay:
         return optax.chain(
-            optax.masked(optax.add_decayed_weights(weight_decay), _wd_mask), inner
+            optax.masked(optax.add_decayed_weights(weight_decay), mask), inner
         )
     return inner
 
@@ -150,15 +252,27 @@ def create_optimizer(
     weight_decay: float = 1e-5,
     rmsprop_decay: float = 0.9,
     rmsprop_eps: float = 1e-3,
+    fused: bool | str = False,
 ) -> optax.GradientTransformation:
+    """``fused=True`` runs the (elementwise-identical) update math on packed
+    flat vectors instead of ~160 leaves; ``fused='small'`` packs only the
+    1-D per-channel leaves — see :func:`fused_flat`."""
     if name == "sgd":
-        return sgd(learning_rate, momentum=momentum, weight_decay=weight_decay)
-    if name == "rmsprop":
-        return rmsprop_tf(
+        make = lambda mask: sgd(
+            learning_rate, momentum=momentum, weight_decay=weight_decay,
+            mask=mask,
+        )
+    elif name == "rmsprop":
+        make = lambda mask: rmsprop_tf(
             learning_rate,
             decay=rmsprop_decay,
             momentum=momentum,
             eps=rmsprop_eps,
             weight_decay=weight_decay,
+            mask=mask,
         )
-    raise ValueError(f"unknown optimizer {name!r} (choices: sgd, rmsprop)")
+    else:
+        raise ValueError(f"unknown optimizer {name!r} (choices: sgd, rmsprop)")
+    if fused:
+        return fused_flat(make, small_only=(fused == "small"))
+    return make(_wd_mask)

@@ -21,6 +21,35 @@ from mnasnet_tpu.train.loss import cross_entropy, topk_correct
 from mnasnet_tpu.train.state import TrainState
 
 
+def fused_ema_stats(old_stats, batch_stats, decay: float):
+    """Apply ``new = decay·old + (1−decay)·batch`` over the WHOLE stats tree
+    as one flat fusion. With the model in ``bn_ema='external'`` mode the
+    mutated batch_stats collection holds raw (Bessel-corrected) batch
+    statistics; updating the ~100 tiny per-BN vectors leaf-by-leaf costs a
+    swarm of 1-element XLA fusions plus HBM↔VMEM spill copies (profiled
+    ~11% of the train step at bs128 — BASELINE.md), so pack → one EMA →
+    unpack. Elementwise math is unchanged."""
+    leaves_old, treedef = jax.tree.flatten(old_stats)
+    leaves_new = jax.tree.leaves(batch_stats)
+    v_old = jnp.concatenate([l.ravel() for l in leaves_old])
+    v_new = jnp.concatenate([l.ravel() for l in leaves_new])
+    v = decay * v_old + (1.0 - decay) * v_new
+    out, off = [], 0
+    for l in leaves_old:
+        out.append(v[off:off + l.size].reshape(l.shape))
+        off += l.size
+    return jax.tree.unflatten(treedef, out)
+
+
+def _ema_outside(model) -> float | None:
+    """BN EMA decay if the model defers running-stat EMA to the step."""
+    if getattr(model, "bn_ema", "module") != "external":
+        return None
+    from mnasnet_tpu.models.layers import BN_MOMENTUM
+
+    return BN_MOMENTUM
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -31,6 +60,7 @@ def make_train_step(
     Jit with ``donate_argnums=(0,)`` at the call site so the old state's HBM
     is reused.
     """
+    ema_decay = _ema_outside(model)
 
     def train_step(state: TrainState, images: jax.Array, labels: jax.Array):
         step_rng = jax.random.fold_in(state.rng, state.step)
@@ -49,6 +79,8 @@ def make_train_step(
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if ema_decay is not None:
+            new_stats = fused_ema_stats(state.batch_stats, new_stats, ema_decay)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **topk_correct(logits, labels)}
@@ -84,6 +116,7 @@ def make_local_bn_train_step(
     """
     if mesh.shape.get("spatial", 1) != 1:
         raise ValueError("local-BN path requires spatial mesh axis of size 1")
+    ema_decay = _ema_outside(model)
 
     def per_shard(params, batch_stats, images, labels, step_rng):
         # Distinct dropout masks per replica, like DDP's per-process RNG.
@@ -131,6 +164,10 @@ def make_local_bn_train_step(
         grads, new_stats, loss, counts = sharded(
             state.params, state.batch_stats, images, labels, step_rng
         )
+        if ema_decay is not None:
+            # new_stats is the cross-replica mean of raw local batch stats;
+            # EMA is linear, so EMA(pmean) ≡ pmean(per-replica EMA).
+            new_stats = fused_ema_stats(state.batch_stats, new_stats, ema_decay)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **counts}

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Slope-timed wall-clock comparison of train-step variants (perf work
+bookkeeping for VERDICT r2 items 3/5). Prints img/s for each requested
+(batch, bn_ema, fused_opt, bn_stats, dw_impl) combo.
+
+Usage: python tools/bench_train_variants.py --batch-sizes 128,256 \
+          --variants base,fused
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    # name: (bn_ema, fused_opt, bn_stats, dw_impl)
+    "base": ("module", False, "one_pass", "auto"),
+    "ema": ("external", False, "one_pass", "auto"),
+    "opt": ("module", True, "one_pass", "auto"),
+    "fused": ("external", True, "one_pass", "auto"),
+    "ema-optsmall": ("external", "small", "one_pass", "auto"),
+    "ema-twopass": ("external", False, "two_pass", "auto"),
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="mnasnet1_0")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--batch-sizes", default="128")
+    p.add_argument("--variants", default="base,fused")
+    p.add_argument("--iters-lo", type=int, default=4)
+    p.add_argument("--iters-hi", type=int, default=16)
+    p.add_argument("--repeats", type=int, default=2)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mnasnet_tpu import create_model
+    from mnasnet_tpu.train.optim import create_optimizer
+    from mnasnet_tpu.train.state import TrainState
+    from mnasnet_tpu.train.steps import make_train_step
+
+    def slope(f_lo, f_hi):
+        jax.block_until_ready(f_lo())
+        jax.block_until_ready(f_hi())
+        best = None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f_lo())
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(f_hi())
+            t_hi = time.perf_counter() - t0
+            s = (t_hi - t_lo) / (args.iters_hi - args.iters_lo)
+            best = s if best is None else min(best, s)
+        return best
+
+    for bs in [int(b) for b in args.batch_sizes.split(",")]:
+        images = jax.random.normal(
+            jax.random.PRNGKey(0), (bs, args.image_size, args.image_size, 3),
+            jnp.bfloat16,
+        )
+        labels = jnp.zeros((bs,), jnp.int32)
+        for name in args.variants.split(","):
+            bn_ema, fused_opt, bn_stats, dw_impl = VARIANTS[name]
+            model = create_model(
+                args.arch, dtype=jnp.bfloat16, dw_impl=dw_impl,
+                bn_stats=bn_stats, bn_ema=bn_ema,
+            )
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.image_size, args.image_size, 3), jnp.bfloat16),
+                train=False,
+            )
+            tx = create_optimizer("rmsprop", 0.01, fused=fused_opt)
+            state0 = TrainState.create(
+                variables["params"], variables["batch_stats"], tx,
+                jax.random.PRNGKey(0),
+            )
+            step = make_train_step(model, tx, 0.1)
+
+            def make_chain(iters):
+                @jax.jit
+                def f(state, x):
+                    def body(_, carry):
+                        state, x, acc = carry
+                        state, metrics = step(state, x, labels)
+                        return (state, -x, acc + metrics["loss"])
+                    _, _, acc = lax.fori_loop(
+                        0, iters, body, (state, x, jnp.zeros((), jnp.float32))
+                    )
+                    return acc
+                return lambda: f(state0, x)
+
+            x = images
+            t = slope(make_chain(args.iters_lo), make_chain(args.iters_hi))
+            print(f"bs={bs:4} {name:6} {t*1e3:7.3f} ms/step  {bs/t:9,.0f} img/s",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
