@@ -49,27 +49,18 @@ def main(argv=None):
         sd = ckpt.get("state_dict", ckpt)
         variables = jax.tree.map(jnp.asarray, torch_to_flax(sd, model.alpha))
     elif args.resume:
-        from mnasnet_tpu.train.checkpoint import CheckpointManager
-        from mnasnet_tpu.train.optim import create_optimizer
-        from mnasnet_tpu.train.state import TrainState
         import os
 
-        # Template built directly — no Trainer / train-step machinery on the
-        # eval path; only the eval step ever compiles.
-        tx = create_optimizer("sgd", 0.0)
-        variables0 = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, args.image_size, args.image_size, 3), dtype),
-            train=False,
-        )
-        template = TrainState.create(
-            variables0["params"], variables0["batch_stats"], tx,
-            jax.random.PRNGKey(0),
-        )
-        state, _, _ = CheckpointManager(os.path.abspath(args.resume)).restore(
-            template, best=args.best
-        )
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        from mnasnet_tpu.train.checkpoint import CheckpointManager
+
+        # Template-free raw restore: the eval path reads weights without
+        # reconstructing the run's optimizer (or its fused/packed state
+        # layout) — restoring with a guessed optimizer template breaks on
+        # any run whose optimizer differs.
+        variables, _, _ = CheckpointManager(
+            os.path.abspath(args.resume)
+        ).restore_variables(best=args.best)
+        variables = jax.tree.map(jnp.asarray, variables)
     else:
         raise SystemExit("need --pretrained or --resume")
 

@@ -53,6 +53,9 @@ class PointwiseConv(nn.Module):
     features: int
     dtype: Any = None
     precision: Any = None
+    # Lowering choice: "conv" (conv_general_dilated) or "dot" (dot_general
+    # over the channel axis — a plain MXU matmul, different XLA emitter).
+    lowering: str = "conv"
 
     def setup(self):
         self.kernel = self.param(
@@ -61,6 +64,12 @@ class PointwiseConv(nn.Module):
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.lowering == "dot":
+            return jax.lax.dot_general(
+                x, self.kernel[0, 0].astype(x.dtype),
+                (((3,), (0,)), ((), ())),
+                precision=self.precision,
+            )
         return jax.lax.conv_general_dilated(
             x, self.kernel.astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -70,6 +79,59 @@ class PointwiseConv(nn.Module):
     def matrix(self) -> jax.Array:
         """(Cin, Cout) view for matmul-style fused kernels."""
         return self.kernel[0, 0]
+
+
+class StemConv(nn.Module):
+    """The 3×3/stride-2 RGB stem conv, with an optional space-to-depth
+    lowering (``s2d=True``).
+
+    C=3 inputs use 3 of the TPU's 128 lanes; the s2d form packs each 2×2
+    pixel block into channels ((H,W,3) → (H/2,W/2,12)) and applies an
+    *exactly equivalent* 2×2/stride-1 conv whose kernel is the original
+    (3,3,3,F) parameter rearranged in-graph (zero tap for the never-used
+    corner). Parameter name/shape/init and therefore the torch-converter
+    and checkpoint layouts are identical to the plain form; gradients flow
+    through the rearrangement onto the original kernel.
+    """
+
+    features: int
+    dtype: Any = None
+    precision: Any = None
+    s2d: bool = False
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", conv_kernel_init, (3, 3, 3, self.features), jnp.float32
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        N, H, W, C = x.shape
+        if not self.s2d or H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x, self.kernel.astype(x.dtype), (2, 2), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self.precision,
+            )
+        xs = (
+            x.reshape(N, H // 2, 2, W // 2, 2, C)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(N, H // 2, W // 2, 4 * C)
+        )
+        # Original output (i,j) sums taps u,v ∈ {-1,0,1} of x[2i+u, 2j+v];
+        # in s2d space that window is rows {i-1, i} × cols {j-1, j} with
+        # u = 2A+dy-2 — pad the kernel's top-left so (A=0,dy=0) is the zero
+        # tap, then regroup (2A+dy) → (A, dy).
+        w2 = jnp.pad(self.kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        wp = (
+            w2.reshape(2, 2, 2, 2, C, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(2, 2, 4 * C, self.features)
+        )
+        return jax.lax.conv_general_dilated(
+            xs, wp.astype(x.dtype), (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision,
+        )
 
 
 class BatchNorm(nn.Module):

@@ -33,6 +33,7 @@ from flax import linen as nn
 from mnasnet_tpu.models.layers import (
     BatchNorm,
     PointwiseConv,
+    StemConv,
     conv_kernel_init,
     dense_kernel_init,
 )
@@ -71,13 +72,14 @@ class InvertedResidual(nn.Module):
     precision: Any = None
     bn_stats: str = "one_pass"
     bn_ema: str = "module"
+    pw_lowering: str = "conv"
 
     def setup(self):
         mid = self.in_ch * self.expansion
         self.apply_residual = self.in_ch == self.out_ch and self.stride == 1
         self.expand_conv = PointwiseConv(
             self.in_ch, mid, dtype=self.dtype, precision=self.precision,
-            name="expand_conv",
+            lowering=self.pw_lowering, name="expand_conv",
         )
         self.expand_bn = BatchNorm(mid, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="expand_bn")
         self.dw_kernel = self.param(
@@ -87,7 +89,7 @@ class InvertedResidual(nn.Module):
         self.dw_bn = BatchNorm(mid, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="dw_bn")
         self.project_conv = PointwiseConv(
             mid, self.out_ch, dtype=self.dtype, precision=self.precision,
-            name="project_conv",
+            lowering=self.pw_lowering, name="project_conv",
         )
         self.project_bn = BatchNorm(self.out_ch, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="project_bn")
 
@@ -173,14 +175,24 @@ class MNASNet(nn.Module):
     # "external" (raw batch stats out; the train step EMAs the whole flat
     # stats tree in one fusion — see models/layers.py + train/steps.py).
     bn_ema: str = "module"
+    # 1x1-conv lowering inside MBConv blocks: "conv" or "dot" (MXU matmul
+    # via dot_general — a different XLA emitter; A/B-able per chip).
+    pw_lowering: str = "conv"
+    # Space-to-depth stem: rewrite the 3x3/s2 RGB stem conv as an exactly
+    # equivalent 2x2/s1 conv on a 2x2-block-flattened (H/2, W/2, 12) input.
+    # C=3 inputs waste almost the whole 128-lane axis on TPU; packing 4
+    # pixels into channels quadruples the work per lane (the classic TPU
+    # ResNet trick). The (3,3,3,C) kernel param and its checkpoint/converter
+    # layout are UNCHANGED — the kernel is rearranged (pad+reshape) in-graph,
+    # so gradients land on the original parameter.
+    stem_s2d: bool = False
 
     def setup(self):
         d = get_depths(self.alpha)
         self.depths = d
-        self.stem_conv = nn.Conv(
-            d[0], (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-            use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype,
-            precision=self.precision, name="stem_conv",
+        self.stem_conv = StemConv(
+            d[0], dtype=self.dtype, precision=self.precision,
+            s2d=self.stem_s2d, name="stem_conv",
         )
         self.stem_bn = BatchNorm(d[0], dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="stem_bn")
         self.sep_dw_kernel = self.param(
@@ -214,6 +226,7 @@ class MNASNet(nn.Module):
                         precision=self.precision,
                         bn_stats=self.bn_stats,
                         bn_ema=self.bn_ema,
+                        pw_lowering=self.pw_lowering,
                         name=f"stage{s}_block{j}",
                     )
                 )

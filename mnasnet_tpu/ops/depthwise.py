@@ -112,11 +112,17 @@ def _dw_hybrid_bwd(stride, padding, res, g):
 _dw_conv_hybrid.defvjp(_dw_hybrid_fwd, _dw_hybrid_bwd)
 
 
-def _hybrid_wins(H: int, k: int) -> bool:
-    """Shape routing for the custom-VJP wgrad, from the measured race
-    (BASELINE.md): tap-wise wins decisively for 14 ≤ H ≤ 64 (up to 30×),
-    loses at 112² and at 7² k5 where XLA's lowering is already fine."""
-    return 8 < H <= 64
+def _hybrid_wins(H: int, k: int, stride: int = 1) -> bool:
+    """Shape routing for the custom-VJP wgrad.
+
+    Round-1 finding (BASELINE.md): tap-wise wgrad wins every isolated race
+    at 14 ≤ H ≤ 64 (up to 30×) but routing it at *every* such layer made
+    the full step slower (custom_vjp boundaries block XLA's cross-op
+    fusion). Round-2 in-situ profiling (DW_ROOFLINE_r02.json) shows the
+    only dw ops with genuine headroom in the production graph are the
+    STRIDE-2 wgrads (112²·48 k3, 56²·72 k5, 28²·240 k5 — 510-686 GB/s),
+    so 'hybrid' now routes exactly those three shapes."""
+    return stride == 2 and H >= 28
 
 
 def _pallas_supported(x, kernel, stride) -> bool:
@@ -161,7 +167,7 @@ def depthwise_conv2d(
         from mnasnet_tpu.ops.pallas.dw_conv import depthwise_conv_pallas
 
         return depthwise_conv_pallas(x, kernel, stride=stride, padding=padding)
-    if impl == "hybrid" and _hybrid_wins(x.shape[1], k):
+    if impl == "hybrid" and _hybrid_wins(x.shape[1], k, stride):
         # XLA forward + custom-VJP backward with the tap-wise wgrad. Wins
         # per-op in isolation (up to 30× on the 56² wgrads) but measured
         # SLOWER in the full training graph (20.9 vs 17.7 ms/step at bs128 —

@@ -114,6 +114,35 @@ class CheckpointManager:
         best_acc1 = float(restored["meta"]["best_acc1"])
         return state, start_epoch, best_acc1
 
+    def restore_variables(
+        self, epoch: Optional[int] = None, best: bool = False
+    ) -> tuple[dict, int, float]:
+        """Template-free restore of just the model variables:
+        ``({'params', 'batch_stats'}, epoch, best_acc1)``.
+
+        The eval path must not need to reconstruct the training-time
+        optimizer (or its fused/packed state layout) to read weights —
+        orbax restores the raw saved pytree without an item template, and
+        the optimizer state is simply ignored."""
+        mgr = self._best_mgr if best else self._mgr
+        if best and mgr is None:
+            raise FileNotFoundError("no best-checkpoint tracking enabled")
+        if epoch is None:
+            epoch = mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        restored = mgr.restore(epoch)
+        state = restored["state"]
+        variables = {
+            "params": state["params"],
+            "batch_stats": state["batch_stats"],
+        }
+        return (
+            variables,
+            int(restored["meta"]["epoch"]),
+            float(restored["meta"]["best_acc1"]),
+        )
+
     def wait(self):
         self._mgr.wait_until_finished()
         if self._best_mgr is not None:

@@ -118,12 +118,14 @@ def pack_flat(tree, small_only: bool = False) -> dict:
             rest.append(leaf)
         else:
             groups[key].append(leaf.ravel())
-    z = jnp.zeros((0,), jnp.float32)
-    return {
-        "decay": jnp.concatenate(groups["decay"]) if groups["decay"] else z,
-        "no_decay": jnp.concatenate(groups["no_decay"]) if groups["no_decay"] else z,
-        "rest": rest,
-    }
+    # Empty groups are OMITTED (not zero-size arrays): orbax refuses to
+    # checkpoint zero-size leaves, and the structure stays deterministic
+    # for a given params template.
+    out = {"rest": rest}
+    for key, parts in groups.items():
+        if parts:
+            out[key] = jnp.concatenate(parts)
+    return out
 
 
 def unpack_flat(packed: dict, template, small_only: bool = False):
@@ -144,8 +146,12 @@ def unpack_flat(packed: dict, template, small_only: bool = False):
 def _flat_mask(template, small_only: bool):
     _, _, keys = _flat_groups(template, small_only)
     marks = jax.tree.leaves(_wd_mask(template))
-    rest_mask = [m for m, k in zip(marks, keys) if k is None]
-    return {"decay": True, "no_decay": False, "rest": rest_mask}
+    mask = {"rest": [m for m, k in zip(marks, keys) if k is None]}
+    if any(k == "decay" for k in keys):
+        mask["decay"] = True
+    if any(k == "no_decay" for k in keys):
+        mask["no_decay"] = False
+    return mask
 
 
 def fused_flat(make_inner, small_only: bool = False) -> optax.GradientTransformation:

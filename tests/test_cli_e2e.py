@@ -84,10 +84,7 @@ def test_cli_deterministic_runs_bitwise_identical(tmp_path_factory, capsys):
     import jax
     import numpy as np
 
-    from mnasnet_tpu import create_model
     from mnasnet_tpu.train.checkpoint import CheckpointManager
-    from mnasnet_tpu.train.optim import create_optimizer
-    from mnasnet_tpu.train.state import TrainState
 
     dirs = [str(tmp_path_factory.mktemp(f"cli_det{i}")) for i in range(2)]
     for d in dirs:
@@ -95,19 +92,12 @@ def test_cli_deterministic_runs_bitwise_identical(tmp_path_factory, capsys):
               "--output-dir", d])
     capsys.readouterr()
 
-    import jax.numpy as jnp
-    model = create_model("mnasnet0_35", num_classes=8)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 32, 32, 3)), train=False)
-    tx = create_optimizer("rmsprop", 0.01)
     params = []
     for d in dirs:
-        template = TrainState.create(
-            variables["params"], variables["batch_stats"], tx,
-            jax.random.PRNGKey(0),
-        )
-        state, _, _ = CheckpointManager(d).restore(template)
-        params.append(state.params)
+        # template-free: works regardless of the run's optimizer/fused
+        # state layout (train.py defaults to fused='small' since r2)
+        variables, _, _ = CheckpointManager(d).restore_variables()
+        params.append(variables["params"])
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b)

@@ -142,3 +142,20 @@ def test_bn_one_pass_close_to_two_pass():
     # shifts grads at O(1).
     rel = np.linalg.norm(flat(g1) - flat(g2)) / (np.linalg.norm(flat(g2)) + 1e-12)
     assert rel < 5e-2, rel
+
+
+def test_stem_s2d_exact_equivalence():
+    """Space-to-depth stem (models/layers.py:StemConv): identical params,
+    identical outputs (same MACs, reassociated) — and odd sizes fall back."""
+    import numpy as np
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 64, 64, 3)).astype(np.float32)
+    )
+    m0 = create_model("mnasnet0_35", precision="highest")
+    v = m0.init(jax.random.PRNGKey(0), x, train=False)
+    m1 = create_model("mnasnet0_35", precision="highest", stem_s2d=True)
+    y0 = m0.apply(v, x, train=False)
+    y1 = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+    assert m1.apply(v, x[:, :63, :63, :], train=False).shape == (2, 1000)

@@ -116,3 +116,32 @@ def test_eval_step_uses_running_stats(tiny_setup):
                             jnp.asarray(images), jnp.asarray(labels))
     assert float(m1["loss"]) == float(m2["loss"])  # deterministic, no dropout
     assert int(m1["count"]) == 16
+
+
+def test_restore_variables_without_optimizer_template(tmp_path):
+    """eval.py --resume reads weights via a template-free raw restore —
+    must work for ANY optimizer/fused-state layout the run used (an
+    sgd-shaped template cannot restore an rmsprop+fused checkpoint)."""
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+    from mnasnet_tpu.train.state import TrainState
+
+    model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla",
+                    bn_ema="external")
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, IMG, IMG, 3)), train=False)
+    tx = create_optimizer("rmsprop", 0.05, fused="small")
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx, jax.random.PRNGKey(7))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, acc1=12.5, best_acc1=12.5, is_best=True, wait=True)
+
+    got, epoch, best = mgr.restore_variables()
+    assert epoch == 0 and best == 12.5
+    for a, b in zip(jax.tree.leaves(got["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    got_best, _, _ = mgr.restore_variables(best=True)
+    for a, b in zip(jax.tree.leaves(got_best["batch_stats"]),
+                    jax.tree.leaves(state.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()

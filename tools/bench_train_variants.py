@@ -17,13 +17,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    # name: (bn_ema, fused_opt, bn_stats, dw_impl)
-    "base": ("module", False, "one_pass", "auto"),
-    "ema": ("external", False, "one_pass", "auto"),
-    "opt": ("module", True, "one_pass", "auto"),
-    "fused": ("external", True, "one_pass", "auto"),
-    "ema-optsmall": ("external", "small", "one_pass", "auto"),
-    "ema-twopass": ("external", False, "two_pass", "auto"),
+    # name: (bn_ema, fused_opt, bn_stats, dw_impl, pw_lowering)
+    "base": ("module", False, "one_pass", "auto", "conv"),
+    "ema": ("external", False, "one_pass", "auto", "conv"),
+    "opt": ("module", True, "one_pass", "auto", "conv"),
+    "fused": ("external", True, "one_pass", "auto", "conv"),
+    "ema-optsmall": ("external", "small", "one_pass", "auto", "conv"),
+    "ema-twopass": ("external", False, "two_pass", "auto", "conv"),
+    "pwdot": ("module", False, "one_pass", "auto", "dot"),
+    "pwdot-ema": ("external", False, "one_pass", "auto", "dot"),
+    "s2d": ("module", False, "one_pass", "auto", "conv", True),
+    "best": ("external", "small", "one_pass", "auto", "conv", True),
+    "hyb2": ("module", False, "one_pass", "hybrid", "conv", False),
+    "best-hyb2": ("external", "small", "one_pass", "hybrid", "conv", True),
 }
 
 
@@ -69,10 +75,13 @@ def main():
         )
         labels = jnp.zeros((bs,), jnp.int32)
         for name in args.variants.split(","):
-            bn_ema, fused_opt, bn_stats, dw_impl = VARIANTS[name]
+            v = VARIANTS[name]
+            bn_ema, fused_opt, bn_stats, dw_impl, pw_lowering = v[:5]
+            stem_s2d = v[5] if len(v) > 5 else False
             model = create_model(
                 args.arch, dtype=jnp.bfloat16, dw_impl=dw_impl,
-                bn_stats=bn_stats, bn_ema=bn_ema,
+                bn_stats=bn_stats, bn_ema=bn_ema, pw_lowering=pw_lowering,
+                stem_s2d=stem_s2d,
             )
             variables = model.init(
                 jax.random.PRNGKey(0),

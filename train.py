@@ -79,6 +79,19 @@ def parse_args(argv=None):
                    help="rematerialize MBConv blocks (saves activation HBM "
                         "at ~11%% step-time cost on v5e; for memory-bound "
                         "configs)")
+    p.add_argument("--fused-updates", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fused small-tensor update paths (default on): the "
+                        "~100 per-channel BN/bias leaves update through "
+                        "packed flat vectors and the BN running-stat EMA is "
+                        "applied once over the flattened stats tree — "
+                        "elementwise-identical math, fewer tiny XLA ops "
+                        "(BASELINE.md)")
+    p.add_argument("--stem-s2d", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="space-to-depth stem lowering (exact rewrite of the "
+                        "3x3/s2 RGB conv as 2x2/s1 on (H/2,W/2,12); same "
+                        "checkpoint layout)")
     p.add_argument("--output-dir", default="./checkpoints")
     p.add_argument("--save-freq-steps", type=int, default=0,
                    help="also checkpoint every N steps (0 = epoch-only, the "
@@ -189,6 +202,8 @@ def main(argv=None):
         dw_impl=args.fused_kernels,
         remat=args.remat,
         bn_stats=args.bn_stats,
+        bn_ema="external" if args.fused_updates else "module",
+        stem_s2d=args.stem_s2d,
     )
 
     # ---- data -------------------------------------------------------------
@@ -256,6 +271,7 @@ def main(argv=None):
     tx = create_optimizer(
         args.optimizer, schedule,
         momentum=args.momentum, weight_decay=args.weight_decay,
+        fused="small" if args.fused_updates else False,
     )
 
     writer = None
