@@ -72,6 +72,7 @@ class InvertedResidual(nn.Module):
     precision: Any = None
     bn_stats: str = "one_pass"
     bn_ema: str = "module"
+    bn_momentum: float = 0.9997
     pw_lowering: str = "conv"
 
     def setup(self):
@@ -81,17 +82,17 @@ class InvertedResidual(nn.Module):
             self.in_ch, mid, dtype=self.dtype, precision=self.precision,
             lowering=self.pw_lowering, name="expand_conv",
         )
-        self.expand_bn = BatchNorm(mid, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="expand_bn")
+        self.expand_bn = BatchNorm(mid, momentum=self.bn_momentum, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="expand_bn")
         self.dw_kernel = self.param(
             "dw_kernel", conv_kernel_init,
             (self.kernel_size, self.kernel_size, 1, mid), jnp.float32,
         )
-        self.dw_bn = BatchNorm(mid, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="dw_bn")
+        self.dw_bn = BatchNorm(mid, momentum=self.bn_momentum, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="dw_bn")
         self.project_conv = PointwiseConv(
             mid, self.out_ch, dtype=self.dtype, precision=self.precision,
             lowering=self.pw_lowering, name="project_conv",
         )
-        self.project_bn = BatchNorm(self.out_ch, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="project_bn")
+        self.project_bn = BatchNorm(self.out_ch, momentum=self.bn_momentum, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="project_bn")
 
     def _use_fused_block(self, x: jax.Array, train: bool) -> bool:
         """Route to the single-kernel fused MBConv (ops/pallas/mbconv.py) —
@@ -175,6 +176,10 @@ class MNASNet(nn.Module):
     # "external" (raw batch stats out; the train step EMAs the whole flat
     # stats tree in one fusion — see models/layers.py + train/steps.py).
     bn_ema: str = "module"
+    # BN running-stat EMA decay (the reference hardcodes 0.9997; exposed so
+    # short runs/tests can use a faster EMA — 0.9997 needs ~10k steps before
+    # eval-mode stats are meaningful).
+    bn_momentum: float = 0.9997
     # 1x1-conv lowering inside MBConv blocks: "conv" or "dot" (MXU matmul
     # via dot_general — a different XLA emitter; A/B-able per chip).
     pw_lowering: str = "conv"
@@ -194,16 +199,16 @@ class MNASNet(nn.Module):
             d[0], dtype=self.dtype, precision=self.precision,
             s2d=self.stem_s2d, name="stem_conv",
         )
-        self.stem_bn = BatchNorm(d[0], dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="stem_bn")
+        self.stem_bn = BatchNorm(d[0], momentum=self.bn_momentum, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="stem_bn")
         self.sep_dw_kernel = self.param(
             "sep_dw_kernel", conv_kernel_init, (3, 3, 1, d[0]), jnp.float32
         )
-        self.sep_dw_bn = BatchNorm(d[0], dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="sep_dw_bn")
+        self.sep_dw_bn = BatchNorm(d[0], momentum=self.bn_momentum, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="sep_dw_bn")
         self.sep_pw_conv = nn.Conv(
             d[1], (1, 1), use_bias=False, kernel_init=conv_kernel_init,
             dtype=self.dtype, precision=self.precision, name="sep_pw_conv",
         )
-        self.sep_pw_bn = BatchNorm(d[1], dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="sep_pw_bn")
+        self.sep_pw_bn = BatchNorm(d[1], momentum=self.bn_momentum, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="sep_pw_bn")
 
         block_cls = InvertedResidual
         if self.remat:
@@ -226,6 +231,7 @@ class MNASNet(nn.Module):
                         precision=self.precision,
                         bn_stats=self.bn_stats,
                         bn_ema=self.bn_ema,
+                        bn_momentum=self.bn_momentum,
                         pw_lowering=self.pw_lowering,
                         name=f"stage{s}_block{j}",
                     )
@@ -237,7 +243,7 @@ class MNASNet(nn.Module):
             1280, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
             dtype=self.dtype, precision=self.precision, name="head_conv",
         )
-        self.head_bn = BatchNorm(1280, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="head_bn")
+        self.head_bn = BatchNorm(1280, momentum=self.bn_momentum, dtype=self.dtype, stats=self.bn_stats, ema=self.bn_ema, name="head_bn")
         self.classifier = nn.Dense(
             self.num_classes, kernel_init=dense_kernel_init,
             bias_init=nn.initializers.zeros, dtype=self.dtype,

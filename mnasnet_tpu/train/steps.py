@@ -47,7 +47,7 @@ def _ema_outside(model) -> float | None:
         return None
     from mnasnet_tpu.models.layers import BN_MOMENTUM
 
-    return BN_MOMENTUM
+    return getattr(model, "bn_momentum", BN_MOMENTUM)
 
 
 def make_train_step(
