@@ -254,7 +254,7 @@ class MNASNet(nn.Module):
     def features(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Backbone up to the 1280-wide head feature map (pre-pool)."""
         x = x.astype(self.dtype)
-        y = nn.relu(self.stem_bn(self.stem_conv(x), use_running_average=not train))
+        y = nn.relu(self.stem_bn(self.stem_conv(x, train=train), use_running_average=not train))
         if not train and self.dw_impl != "xla":
             s, b = self.sep_dw_bn.folded()
             y = depthwise_conv_bn_relu_fused(

@@ -146,7 +146,9 @@ def test_bn_one_pass_close_to_two_pass():
 
 def test_stem_s2d_exact_equivalence():
     """Space-to-depth stem (models/layers.py:StemConv): identical params,
-    identical outputs (same MACs, reassociated) — and odd sizes fall back."""
+    identical TRAIN-mode outputs (same MACs, reassociated; s2d is a
+    train-only lowering — eval uses the plain conv) — and odd sizes fall
+    back."""
     import numpy as np
 
     x = jnp.asarray(
@@ -155,7 +157,24 @@ def test_stem_s2d_exact_equivalence():
     m0 = create_model("mnasnet0_35", precision="highest")
     v = m0.init(jax.random.PRNGKey(0), x, train=False)
     m1 = create_model("mnasnet0_35", precision="highest", stem_s2d=True)
-    y0 = m0.apply(v, x, train=False)
-    y1 = m1.apply(v, x, train=False)
-    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
-    assert m1.apply(v, x[:, :63, :63, :], train=False).shape == (2, 1000)
+    y0, s0 = m0.apply(v, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    y1, s1 = m1.apply(v, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+    # train-mode batch-stat chains amplify the (mathematically exact)
+    # reassociation noise through ~50 layers: allow a few 1e-5.
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=3e-4, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-4)
+    # eval path: identical by construction (plain conv both)
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply(v, x, train=False)),
+        np.asarray(m1.apply(v, x, train=False)),
+    )
+    # odd sizes fall back to the plain conv in train mode too
+    y_odd, _ = m1.apply(v, x[:, :63, :63, :], train=True,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+    assert y_odd.shape == (2, 1000)
