@@ -71,12 +71,6 @@ class SmallLeafPacker:
                 ri += 1
         return jax.tree.unflatten(self.treedef, out)
 
-    def rest_mask(self, fn) -> list:
-        """Apply the per-leaf predicate ``fn(path_key_name, leaf_template)``
-        to the 'rest' leaves (for weight-decay masks on the packed tree)."""
-        return [fn for _ in range(self.n_rest)]
-
-
 def packed_wd_mask(packer: SmallLeafPacker) -> dict:
     """Weight-decay mask for the packed params tree: the flat vector holds
     the BN-scale/bias/dense-bias group (wd-excluded); 'rest' holds conv /

@@ -108,3 +108,31 @@ def test_external_ema_train_step_equivalent():
         jax.tree.leaves(s_ref.batch_stats), jax.tree.leaves(s_new.batch_stats)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("bn_ema", ["module", "external"])
+def test_bn_momentum_knob_respected(bn_ema):
+    """bn_momentum must govern the running-stat EMA in BOTH ema modes
+    (the external path reads it via steps._ema_outside)."""
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (8, 32, 32, 3)) * 2 + 1
+    labels = jnp.zeros((8,), jnp.int32)
+    model = create_model("mnasnet0_35", num_classes=4, bn_ema=bn_ema,
+                         bn_momentum=0.5)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+    tx = create_optimizer("sgd", 0.0, weight_decay=0.0)
+    state = TrainState.create(v["params"], v["batch_stats"], tx,
+                              jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, tx, 0.0))
+    state1, _ = step(state, imgs, labels)
+    # lr=0 → weights unchanged → batch stats identical next step; after one
+    # step running = 0.5*init + 0.5*batch, after two = 0.25*init+0.75*batch.
+    state2, _ = step(state1, imgs, labels)
+    m0 = v["batch_stats"]["stem_bn"]["mean"]          # init (zeros)
+    m1 = state1.batch_stats["stem_bn"]["mean"]
+    m2 = state2.batch_stats["stem_bn"]["mean"]
+    batch = m1 * 2.0                                   # solve 0.5*0+0.5*b
+    np.testing.assert_allclose(np.asarray(m2),
+                               np.asarray(0.25 * m0 + 0.75 * batch),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.abs(m1).max()) > 1e-3  # stats actually moved
