@@ -159,17 +159,20 @@ def main():
     physics = {}
     if MACS:
         V5E_BF16_FLOPS = 197e12
-        train_flops = 6 * MACS * headline  # fwd + ~2x bwd per image
         infer_flops = 2 * MACS * results["infer_ips"] / n_chips
         physics = {
-            "train_mfu_pct_of_spec": round(100 * train_flops / V5E_BF16_FLOPS, 2),
             "infer_mfu_pct_of_spec": round(100 * infer_flops / V5E_BF16_FLOPS, 2),
+        }
+        if "train_ips" in results:  # only label train MFU when train ran
+            train_flops = 6 * MACS * results["train_ips"] / n_chips
+            physics["train_mfu_pct_of_spec"] = round(
+                100 * train_flops / V5E_BF16_FLOPS, 2
+            )
             # measured bf16 matmul ceiling through the axon tunnel is
             # 42-68 TFLOP/s (BASELINE.md) — fraction of its midpoint:
-            "train_pct_of_measured_matmul_ceiling": round(
+            physics["train_pct_of_measured_matmul_ceiling"] = round(
                 100 * train_flops / 55e12, 1
-            ),
-        }
+            )
 
     print(
         json.dumps(

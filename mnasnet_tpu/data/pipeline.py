@@ -58,6 +58,7 @@ class DataLoader:
         self.transform = transform
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self._fallback_count = 0  # native-decoder → PIL per-image fallbacks
         self.seed = seed
         self.workers = workers
         self.shard_id = shard_id
@@ -91,11 +92,22 @@ class DataLoader:
                         rng = np.random.default_rng((self.seed, epoch, index))
                         return self.bytes_transform(data, rng), label
                     return self.bytes_transform(data), label
-                except Exception:
+                except Exception as e:
                     # Per-image PIL fallback: the native decoder rejects
                     # JPEGs libjpeg can't hand back as RGB (CMYK/YCCK —
                     # real ImageNet contains a few); PIL converts them.
-                    pass
+                    # Count + warn so a SYSTEMIC decoder failure (misbuilt
+                    # .so, ABI break) degrading every image to the slow
+                    # path is visible, not silent.
+                    self._fallback_count += 1
+                    if self._fallback_count in (1, 100) or (
+                            self._fallback_count % 10000 == 0):
+                        print(
+                            f"warning: native decode failed "
+                            f"({type(e).__name__}: {e}); PIL fallback "
+                            f"(occurrence #{self._fallback_count})",
+                            flush=True,
+                        )
         img, label = self.dataset.load(index)
         if self.augment:
             rng = np.random.default_rng((self.seed, epoch, index))

@@ -30,7 +30,7 @@ def main():
     from mnasnet_tpu.models.layers import BN_MOMENTUM
     from mnasnet_tpu.train.loss import cross_entropy, topk_correct
     from mnasnet_tpu.train.optim import rmsprop_tf
-    from mnasnet_tpu.train.packing import SmallLeafPacker, packed_wd_mask
+    from tools.packing_experiment import SmallLeafPacker, packed_wd_mask
 
     bs, img = args.batch_size, args.image_size
     images = jax.random.normal(jax.random.PRNGKey(0), (bs, img, img, 3), jnp.bfloat16)

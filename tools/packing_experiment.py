@@ -1,4 +1,11 @@
-"""Small-leaf state packing — TPU small-tensor interface optimization.
+"""Small-leaf state packing EXPERIMENT (not wired into production).
+
+Measured within noise of the shipped fused='small' optimizer packing
+(BASELINE.md round-2 record: the copy storm is mid-graph spills, not
+interface staging), so this full state-interface packer lives with the
+experiment tool that validates it (tools/bench_packed_step.py) instead of
+the production package. The production small-tensor path is
+mnasnet_tpu/train/optim.py:fused_flat + steps.py:fused_ema_stats.
 
 An XLA TPU program stages every input/output buffer separately: profiling the
 train step at bs128 showed ~600 async HBM↔VMEM copies just for the per-leaf

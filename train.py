@@ -53,7 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--rank", type=int, default=-1,
                    help="[compat] checked against jax.process_index()")
     p.add_argument("--dist-url", default=None,
-                   help="[compat] ignored — no rendezvous needed")
+                   help="coordinator address for multi-host runs: with "
+                        "--world-size > 1 it is passed to "
+                        "jax.distributed.initialize (which BLOCKS until all "
+                        "processes join); leave unset for single-host")
     p.add_argument("--dist-backend", default="ici",
                    help="[compat] collectives always ride ICI/DCN via XLA")
     p.add_argument("--gpu", type=int, default=None,
@@ -126,6 +129,15 @@ def parse_args(argv=None):
     p.add_argument("--tensorboard", default="",
                    help="TensorBoard log dir (empty = off)")
     args = p.parse_args(argv)
+    # Reference-boolean `--pretrained` placed before the positional makes
+    # argparse greedily consume DATA_DIR as the flag's value. Undo that:
+    # a value that is an existing directory (not a weights file) was meant
+    # to be the dataset root.
+    if (args.data is None and args.pretrained
+            and args.pretrained != "__auto__"
+            and not args.pretrained.endswith((".pth", ".pth.tar", ".pt"))
+            and os.path.isdir(args.pretrained)):
+        args.data, args.pretrained = args.pretrained, "__auto__"
     if args.deterministic:
         if args.seed is None:
             args.seed = 0
@@ -337,15 +349,31 @@ def main(argv=None):
     if args.resume:
         rmgr = (mgr if os.path.abspath(args.resume) == os.path.abspath(args.output_dir)
                 else CheckpointManager(os.path.abspath(args.resume)))
-        state, start_epoch, best_acc1 = rmgr.restore(state)
+        try:
+            state, start_epoch, best_acc1 = rmgr.restore(state)
+        except (ValueError, KeyError) as e:
+            # The optimizer-state layout depends on --optimizer and
+            # --fused-updates; a template built with different flags than
+            # the original run fails structure matching deep inside orbax.
+            raise SystemExit(
+                f"--resume: checkpoint structure does not match the current "
+                f"flags (optimizer={args.optimizer}, "
+                f"fused-updates={args.fused_updates}). Re-run with the same "
+                f"--optimizer and --fused-updates/--no-fused-updates the "
+                f"checkpoint was written with. Original error: {e}"
+            ) from e
         print(f"=> resumed from epoch {start_epoch - 1} (best acc1 {best_acc1:.3f})")
 
     if args.evaluate:
         trainer.validate(state, val_loader)
         return
 
+    # NOTE: orbax saves of mesh-sharded arrays are COLLECTIVE — every
+    # process must call save() (orbax does the rank-0 write coordination
+    # itself); gating save behind process_index()==0 would deadlock
+    # multi-host runs at the first checkpoint. Only the print is rank-0.
     step_cb = None
-    if args.save_freq_steps > 0 and jax.process_index() == 0:
+    if args.save_freq_steps > 0:
         step_mgr = CheckpointManager(
             os.path.abspath(os.path.join(args.output_dir, "steps")),
             max_to_keep=2, track_best=False,
@@ -363,8 +391,8 @@ def main(argv=None):
         acc1, acc5, _ = trainer.validate(state, val_loader)
         is_best = acc1 > best_acc1
         best_acc1 = max(acc1, best_acc1)
+        mgr.save(epoch, state, acc1, best_acc1, is_best=is_best)
         if jax.process_index() == 0:
-            mgr.save(epoch, state, acc1, best_acc1, is_best=is_best)
             print(
                 f"epoch {epoch}: acc1={acc1:.3f} acc5={acc5:.3f} "
                 f"best={best_acc1:.3f}{' *' if is_best else ''} "
