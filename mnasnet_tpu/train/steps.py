@@ -116,6 +116,11 @@ def make_local_bn_train_step(
     """
     if mesh.shape.get("spatial", 1) != 1:
         raise ValueError("local-BN path requires spatial mesh axis of size 1")
+    if mesh.shape.get("dcn", 1) != 1:
+        raise ValueError(
+            "local-BN path shards only over 'data'; use sync-BN (GSPMD) "
+            "for multi-slice ('dcn') meshes"
+        )
     ema_decay = _ema_outside(model)
 
     def per_shard(params, batch_stats, images, labels, step_rng):

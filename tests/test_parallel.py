@@ -295,3 +295,41 @@ def test_multihost_placement_branch(monkeypatch):
     out = list(pl.prefetch_to_device(batches, sharding=shardings))
     assert len(out) == 1
     assert calls == [(16, IMG, IMG, 3), (16,)]
+
+
+def test_dcn_mesh_equivalent_to_flat_data_mesh():
+    """Multi-slice stretch ([B:configs[3]]): a (dcn=2, data=4) mesh must
+    produce the same step as the flat 8-device data mesh — the batch shards
+    over ('dcn','data') jointly and GSPMD's hierarchical reduction is
+    numerically a reduction over all 8 shards."""
+    model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla",
+                    precision="highest", bn_stats="two_pass")
+    tx = create_optimizer("sgd", 0.1, weight_decay=0.0)
+    images, labels = _data(16)
+
+    results = []
+    for mesh in (make_mesh(jax.devices()),
+                 make_mesh(jax.devices(), dcn=2, data=4)):
+        trainer = Trainer(model, tx, mesh=mesh, label_smoothing=0.1,
+                          print_freq=1000)
+        state = trainer.create_state(jax.random.PRNGKey(0), IMG)
+        state, metrics = trainer._train_step(
+            state, jnp.asarray(images), jnp.asarray(labels)
+        )
+        results.append((state, metrics))
+    (sf, mf), (sd, md) = results
+    np.testing.assert_allclose(float(mf["loss"]), float(md["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(sf.params), jax.tree.leaves(sd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_local_bn_rejects_dcn_mesh():
+    from mnasnet_tpu.train.steps import make_local_bn_train_step
+
+    model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla")
+    tx = create_optimizer("sgd", 0.1)
+    mesh = make_mesh(jax.devices(), dcn=2, data=4)
+    with pytest.raises(ValueError, match="dcn"):
+        make_local_bn_train_step(model, tx, 0.1, mesh=mesh)
