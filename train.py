@@ -99,6 +99,11 @@ def parse_args(argv=None):
     p.add_argument("--save-freq-steps", type=int, default=0,
                    help="also checkpoint every N steps (0 = epoch-only, the "
                         "reference's cadence)")
+    p.add_argument("--mesh-dcn", type=int, default=1,
+                   help="multi-slice data parallelism: number of slices in "
+                        "the device mesh (batch shards over dcn x data; "
+                        "gradient reduction is hierarchical — ICI within a "
+                        "slice, DCN across). Requires --sync-bn (default)")
     p.add_argument("--sync-bn", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="global BN stats across devices (default); "
@@ -301,7 +306,10 @@ def main(argv=None):
             os.path.join(args.output_dir, "profile"), lo, hi
         )
 
-    mesh = make_mesh()
+    if args.mesh_dcn > 1 and not args.sync_bn:
+        raise SystemExit("--mesh-dcn requires --sync-bn (local-BN shards "
+                         "only over 'data')")
+    mesh = make_mesh(dcn=args.mesh_dcn)
     trainer = Trainer(
         model, tx, mesh=mesh, label_smoothing=args.label_smoothing,
         compute_dtype=dtype, schedule=schedule, print_freq=args.print_freq,
