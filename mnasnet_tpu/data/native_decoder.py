@@ -8,8 +8,10 @@ callers should catch ``NativeDecoderUnavailable`` and use the PIL transforms.
 from __future__ import annotations
 
 import ctypes
+import fcntl
 import os
 import subprocess
+import tempfile
 import threading
 
 import numpy as np
@@ -31,16 +33,58 @@ class NativeDecoderUnavailable(RuntimeError):
     pass
 
 
+def _arch_flag() -> str:
+    """Deterministic arch flag (multi-process hosts must all build the same
+    binary; -march=native also breaks when the .so outlives a heterogeneous
+    build host). x86-64-v3 iff the running CPU has AVX2, else baseline."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            if " avx2" in f.read():
+                return "-march=x86-64-v3"
+    except OSError:
+        pass
+    return "-march=x86-64"
+
+
+def _stale() -> bool:
+    return not os.path.exists(_LIB) or (
+        os.path.exists(_SRC)
+        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    )
+
+
 def _build() -> None:
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        _SRC, "-o", _LIB, "-ljpeg",
-    ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
-        raise NativeDecoderUnavailable(
-            f"g++ build failed:\n{proc.stderr[-2000:]}"
-        )
+    """Build the .so safely under concurrency (multi-host trainers share a
+    checkout): an fcntl file lock serializes builders across processes, the
+    compile writes to a temp file that's atomically renamed into place, and
+    the staleness check re-runs under the lock so waiters skip the rebuild."""
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    lock_path = _LIB + ".lock"
+    with open(lock_path, "w") as lock_file:
+        fcntl.flock(lock_file, fcntl.LOCK_EX)
+        try:
+            if not _stale():
+                return
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.dirname(_LIB), suffix=".so"
+            )
+            os.close(fd)
+            try:
+                cmd = [
+                    "g++", "-O3", _arch_flag(), "-shared", "-fPIC",
+                    _SRC, "-o", tmp, "-ljpeg",
+                ]
+                proc = subprocess.run(cmd, capture_output=True, text=True)
+                if proc.returncode != 0:
+                    raise NativeDecoderUnavailable(
+                        f"g++ build failed:\n{proc.stderr[-2000:]}"
+                    )
+                os.replace(tmp, _LIB)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        finally:
+            fcntl.flock(lock_file, fcntl.LOCK_UN)
 
 
 def _load():
@@ -48,10 +92,7 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
+        if _stale():
             if not os.path.exists(_SRC):
                 raise NativeDecoderUnavailable(f"source missing: {_SRC}")
             _build()

@@ -28,6 +28,7 @@ import jax
 import numpy as np
 
 from mnasnet_tpu.data.dataset import shard_indices
+from mnasnet_tpu.parallel import mesh as _mesh
 
 
 class DataLoader:
@@ -59,6 +60,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self._fallback_count = 0  # native-decoder → PIL per-image fallbacks
+        self._fallback_lock = threading.Lock()  # workers increment concurrently
         self.seed = seed
         self.workers = workers
         self.shard_id = shard_id
@@ -99,13 +101,14 @@ class DataLoader:
                     # Count + warn so a SYSTEMIC decoder failure (misbuilt
                     # .so, ABI break) degrading every image to the slow
                     # path is visible, not silent.
-                    self._fallback_count += 1
-                    if self._fallback_count in (1, 100) or (
-                            self._fallback_count % 10000 == 0):
+                    with self._fallback_lock:
+                        self._fallback_count += 1
+                        count = self._fallback_count
+                    if count in (1, 100) or count % 10000 == 0:
                         print(
                             f"warning: native decode failed "
                             f"({type(e).__name__}: {e}); PIL fallback "
-                            f"(occurrence #{self._fallback_count})",
+                            f"(occurrence #{count})",
                             flush=True,
                         )
         img, label = self.dataset.load(index)
@@ -208,21 +211,16 @@ def prefetch_to_device(
     stop = threading.Event()
 
     def place(images, labels):
-        if _process_count() > 1:
-            assert isinstance(sharding, tuple), (
-                "multi-host placement needs explicit (images, labels) shardings"
-            )
-            return (
-                _make_global_array(sharding[0], images),
-                _make_global_array(sharding[1], labels),
+        if isinstance(sharding, tuple):
+            # The one multi-host-aware placement path (parallel.mesh).
+            return _mesh.place_batch(images, labels, sharding[0], sharding[1])
+        if _mesh._process_count() > 1:
+            raise ValueError(
+                "multi-host placement needs explicit (images, labels) "
+                "shardings"
             )
         if sharding is None:
             return jax.device_put((images, labels))
-        if isinstance(sharding, tuple):
-            return (
-                jax.device_put(images, sharding[0]),
-                jax.device_put(labels, sharding[1]),
-            )
         return jax.device_put((images, labels), sharding)
 
     def put(batch):
@@ -277,11 +275,3 @@ class _Failure:
         self.exc = exc
 
 
-# Indirections so tests can exercise the multi-host placement branch on a
-# single-process host (monkeypatched in tests/test_parallel.py).
-def _process_count() -> int:
-    return jax.process_count()
-
-
-def _make_global_array(sharding, local_data):
-    return jax.make_array_from_process_local_data(sharding, local_data)

@@ -42,10 +42,44 @@ def make_mesh(
             f"mesh {dcn}x{data}x{spatial} != {len(devices)} devices"
         )
     if dcn > 1:
+        devices = _slice_major(devices, dcn, data * spatial)
         arr = np.asarray(devices).reshape(dcn, data, spatial)
         return Mesh(arr, axis_names=("dcn", "data", "spatial"))
     arr = np.asarray(devices).reshape(data, spatial)
     return Mesh(arr, axis_names=("data", "spatial"))
+
+
+def _slice_major(
+    devices: Sequence[jax.Device], dcn: int, per_slice: int
+) -> list:
+    """Order devices slice-major so the leading 'dcn' mesh axis is
+    slice-aligned.
+
+    Platforms don't guarantee ``jax.devices()`` returns devices grouped by
+    slice; a naive reshape could then put intra-slice gradient traffic on
+    slow DCN links (numerics stay correct, so only topology-aware grouping —
+    not a test — catches it). Devices exposing ``slice_index`` are grouped
+    and validated against the requested mesh shape; devices without one
+    (CPU meshes in tests) keep their given order.
+    """
+    slice_ids = [getattr(d, "slice_index", None) for d in devices]
+    if all(s is None for s in slice_ids):
+        return list(devices)
+    by_slice: dict = {}
+    for d, s in zip(devices, slice_ids):
+        by_slice.setdefault(s, []).append(d)
+    if len(by_slice) != dcn:
+        raise ValueError(
+            f"dcn={dcn} but devices span {len(by_slice)} slices "
+            f"({sorted(by_slice)})"
+        )
+    sizes = {s: len(ds) for s, ds in by_slice.items()}
+    if any(n != per_slice for n in sizes.values()):
+        raise ValueError(
+            f"data*spatial={per_slice} must equal the per-slice device "
+            f"count; got {sizes}"
+        )
+    return [d for s in sorted(by_slice) for d in by_slice[s]]
 
 
 def _batch_axes(mesh: Mesh):
@@ -67,17 +101,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, images: Any, labels: Any):
-    """Place a host-global batch onto the mesh (per-host slices in multi-host
-    setups arrive via ``jax.make_array_from_process_local_data``)."""
-    if jax.process_count() > 1:
-        images = jax.make_array_from_process_local_data(batch_sharding(mesh), images)
-        labels = jax.make_array_from_process_local_data(label_sharding(mesh), labels)
-        return images, labels
+def place_batch(images: Any, labels: Any, images_sharding, labels_sharding):
+    """THE multi-host-aware batch placement — the single implementation both
+    :func:`shard_batch` and ``data.pipeline.prefetch_to_device`` route
+    through. Single-process: plain ``device_put``. Multi-process: each host
+    holds its per-process shard, assembled into one global array via
+    ``jax.make_array_from_process_local_data`` (SURVEY.md §2.6)."""
+    if _process_count() > 1:
+        return (
+            _make_global_array(images_sharding, images),
+            _make_global_array(labels_sharding, labels),
+        )
     return (
-        jax.device_put(images, batch_sharding(mesh)),
-        jax.device_put(labels, label_sharding(mesh)),
+        jax.device_put(images, images_sharding),
+        jax.device_put(labels, labels_sharding),
     )
+
+
+def shard_batch(mesh: Mesh, images: Any, labels: Any):
+    """Place a host-(local|global) batch onto the mesh with the canonical
+    batch/label shardings."""
+    return place_batch(
+        images, labels, batch_sharding(mesh), label_sharding(mesh)
+    )
+
+
+# Indirections so tests can exercise the multi-host placement branch on a
+# single-process host (monkeypatched in tests/test_parallel.py).
+def _process_count() -> int:
+    return jax.process_count()
+
+
+def _make_global_array(sharding, local_data):
+    return jax.make_array_from_process_local_data(sharding, local_data)
 
 
 def replicate_state(mesh: Mesh, tree: Any) -> Any:

@@ -162,7 +162,12 @@ def fused_flat(make_inner, small_only: bool = False) -> optax.GradientTransforma
     inner_cache = {}
 
     def get_inner(template):
-        key = "inner"
+        # Keyed on the template's structure + leaf shapes: reusing one
+        # fused_flat transformation across models with different param
+        # structures must rebuild the inner transform (a stale wd mask /
+        # packed-state layout would silently corrupt the update).
+        leaves, treedef = jax.tree.flatten(template)
+        key = (treedef, tuple(jnp.shape(l) for l in leaves))
         if key not in inner_cache:
             inner_cache[key] = make_inner(_flat_mask(template, small_only))
         return inner_cache[key]

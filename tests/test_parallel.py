@@ -274,10 +274,13 @@ def test_local_bn_differs_from_sync_on_distinct_shards():
 
 
 def test_multihost_placement_branch(monkeypatch):
-    """prefetch_to_device must route through
+    """Unit test: prefetch_to_device must route through
     jax.make_array_from_process_local_data when process_count > 1 — a plain
-    device_put would misplace host-local shards (SURVEY.md §2.6)."""
+    device_put would misplace host-local shards (SURVEY.md §2.6). The real
+    2-process integration proof is tools/multihost_smoke.py
+    (tests/test_multihost.py)."""
     from mnasnet_tpu.data import pipeline as pl
+    from mnasnet_tpu.parallel import mesh as pm
 
     mesh = make_mesh(jax.devices())
     shardings = (batch_sharding(mesh), label_sharding(mesh))
@@ -287,8 +290,8 @@ def test_multihost_placement_branch(monkeypatch):
         calls.append(local.shape)
         return jax.device_put(local, sharding)  # stand-in placement
 
-    monkeypatch.setattr(pl, "_process_count", lambda: 2)
-    monkeypatch.setattr(pl, "_make_global_array", fake_make_global)
+    monkeypatch.setattr(pm, "_process_count", lambda: 2)
+    monkeypatch.setattr(pm, "_make_global_array", fake_make_global)
 
     batches = iter([(np.zeros((16, IMG, IMG, 3), np.float32),
                      np.zeros((16,), np.int32))])

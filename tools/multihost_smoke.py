@@ -1,0 +1,329 @@
+#!/usr/bin/env python
+"""Real 2-process multi-host integration proof (SURVEY.md §2.6, §4.3).
+
+Round 2 left the multi-host path written but never executed with more than
+one actual process (VERDICT r2 missing #1). This tool runs the REAL thing on
+CPU, no cluster needed:
+
+  * two subprocesses, each ``JAX_PLATFORMS=cpu`` with 4 virtual devices
+    (``--xla_force_host_platform_device_count=4``), rendezvous via
+    ``jax.distributed.initialize(localhost:<port>, num_processes=2)`` →
+    8 global devices;
+  * each runs the UNMODIFIED ``train.py`` CLI (``--dist-url --world-size
+    --rank``, ``--deterministic --synthetic``): real per-host DataLoader
+    sharding, ``jax.make_array_from_process_local_data`` placement, GSPMD
+    train steps, per-epoch validate, and COLLECTIVE orbax checkpoint saves;
+  * a second invocation ``--resume``s from the collective checkpoint and
+    trains further (save → restore → continue across a process boundary);
+  * an oracle run on a single process with 8 virtual devices consumes the
+    SAME global data order (the two host shards concatenated per step) and
+    the final parameters are compared BITWISE.
+
+Emits MULTIHOST_r03.json: {ok, n_processes, steps, params_match, ...}.
+
+Run:  python tools/multihost_smoke.py [--out MULTIHOST_r03.json]
+Also wrapped as a slow test: tests/test_multihost.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Recipe pinned fully explicit so the oracle below can reproduce it without
+# re-deriving train.py's default-LR/scaling logic.
+ARCH = "mnasnet0_35"
+IMG = 32
+N_CLASSES = 8
+DATASET_SIZE = 64
+GLOBAL_BATCH = 16  # → 4 steps/epoch (drop_last), 8 host-batch per process
+LR = 0.05
+COMMON_FLAGS = [
+    "--synthetic",
+    "--deterministic",  # seed=0, two-pass BN (bitwise cross-mesh exact)
+    "--arch", ARCH,
+    "--image-size", str(IMG),
+    "--num-classes", str(N_CLASSES),
+    "--synthetic-size", str(DATASET_SIZE),
+    "--batch-size", str(GLOBAL_BATCH),
+    "--optimizer", "sgd",
+    "--lr", str(LR),  # explicit --lr is never batch-scaled
+    "--lr-schedule", "constant",
+    "--warmup-epochs", "0",
+    "--workers", "2",
+    "--print-freq", "1",
+]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _env(n_local_devices: int) -> dict:
+    env = os.environ.copy()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local_devices}"
+    )
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    env.pop("COORDINATOR_ADDRESS", None)
+    return env
+
+
+# The axon sitecustomize registers+pins the TPU platform at interpreter
+# start, so JAX_PLATFORMS=cpu in the env is not enough (same reason
+# tests/conftest.py and __graft_entry__._reexec_on_virtual_mesh pin via
+# jax.config). This bootstrap pins CPU + the gloo cross-process CPU
+# collectives, then runs the target script UNMODIFIED as __main__.
+_BOOTSTRAP = (
+    "import sys, runpy, jax; "
+    "jax.config.update('jax_platforms', 'cpu'); "
+    "jax.config.update('jax_cpu_collectives_implementation', 'gloo'); "
+    "script = sys.argv.pop(1); "
+    "runpy.run_path(script, run_name='__main__')"
+)
+
+
+def _run_multihost(outdir: str, epochs: int, resume: bool, log_prefix: str):
+    """Launch the real train.py in 2 coordinated processes; wait for both."""
+    port = _free_port()
+    procs = []
+    logs = []
+    for rank in range(2):
+        cmd = [
+            sys.executable, "-c", _BOOTSTRAP, "train.py", *COMMON_FLAGS,
+            "--epochs", str(epochs),
+            "--output-dir", outdir,
+            "--dist-url", f"localhost:{port}",
+            "--world-size", "2",
+            "--rank", str(rank),
+        ]
+        if resume:
+            cmd += ["--resume", outdir]
+        log = open(f"{log_prefix}.rank{rank}.log", "w")
+        logs.append(log)
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=REPO, env=_env(4), stdout=log,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    codes = [p.wait(timeout=1200) for p in procs]
+    for log in logs:
+        log.close()
+    if any(codes):
+        for rank in range(2):
+            with open(f"{log_prefix}.rank{rank}.log") as f:
+                tail = f.read()[-3000:]
+            print(f"--- rank {rank} log tail ---\n{tail}", file=sys.stderr)
+        raise RuntimeError(f"multi-host train.py failed: exit codes {codes}")
+
+
+# ---------------------------------------------------------------------------
+# Oracle: single process, 8 virtual devices, identical global data order.
+# ---------------------------------------------------------------------------
+
+
+class _CombinedLoader:
+    """Concatenates the two host shards' batches into the global batch in
+    process order — exactly what make_array_from_process_local_data
+    assembles across the two hosts (process 0's devices lead the mesh)."""
+
+    def __init__(self, loaders):
+        self.loaders = loaders
+
+    def steps_per_epoch(self):
+        return self.loaders[0].steps_per_epoch()
+
+    def epoch(self, epoch):
+        import numpy as np
+
+        for parts in zip(*(l.epoch(epoch) for l in self.loaders)):
+            yield (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+
+
+def run_oracle(outdir: str, epochs: int, resume: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mnasnet_tpu import create_model
+    from mnasnet_tpu.data.dataset import SyntheticDataset
+    from mnasnet_tpu.data.pipeline import DataLoader
+    from mnasnet_tpu.data.transforms import train_transform
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+    from mnasnet_tpu.train.optim import create_optimizer
+    from mnasnet_tpu.train.trainer import Trainer
+
+    assert len(jax.devices()) == 8, jax.devices()
+    dtype = jnp.bfloat16
+    # Mirrors train.py's model/optimizer construction under
+    # --deterministic + the COMMON_FLAGS recipe (defaults: fused-updates on,
+    # stem-s2d on, sync-bn on).
+    model = create_model(
+        ARCH, num_classes=N_CLASSES, dtype=dtype, dw_impl="auto",
+        bn_stats="two_pass", bn_ema="external", stem_s2d=True,
+    )
+    tx = create_optimizer(
+        "sgd", LR, momentum=0.9, weight_decay=1e-5, fused="small"
+    )
+    trainer = Trainer(
+        model, tx, label_smoothing=0.1, compute_dtype=dtype, print_freq=1
+    )
+    state = trainer.create_state(jax.random.PRNGKey(0), IMG)
+
+    ds = SyntheticDataset(DATASET_SIZE, IMG, N_CLASSES, seed=0)
+    loaders = [
+        DataLoader(
+            ds, GLOBAL_BATCH // 2,
+            lambda img, rng: train_transform(img, IMG, rng),
+            shuffle=True, drop_last=True, seed=0, workers=2,
+            shard_id=k, num_shards=2,
+        )
+        for k in (0, 1)
+    ]
+    combined = _CombinedLoader(loaders)
+
+    mgr = CheckpointManager(os.path.abspath(outdir))
+    start_epoch, best_acc1 = 0, 0.0
+    if resume:
+        state, start_epoch, best_acc1 = mgr.restore(state)
+    for epoch in range(start_epoch, epochs):
+        state = trainer.train_epoch(state, combined, epoch)
+        mgr.save(epoch, state, 0.0, best_acc1)
+    mgr.wait()
+
+
+def _run_oracle_subprocess(outdir: str, epochs: int, resume: bool,
+                           log_path: str):
+    cmd = [
+        sys.executable, "-c", _BOOTSTRAP,
+        os.path.join("tools", "multihost_smoke.py"),
+        "--oracle", "--outdir", outdir, "--epochs", str(epochs),
+    ]
+    if resume:
+        cmd += ["--resume"]
+    with open(log_path, "w") as log:
+        subprocess.run(
+            cmd, cwd=REPO, env=_env(8), stdout=log,
+            stderr=subprocess.STDOUT, check=True, timeout=1200,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Comparison (template-free restore; runs in the parent process).
+# ---------------------------------------------------------------------------
+
+
+def compare(dir_a: str, dir_b: str) -> dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # don't claim the TPU to diff
+    import numpy as np
+
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+
+    va, ea, _ = CheckpointManager(os.path.abspath(dir_a)).restore_variables()
+    vb, eb, _ = CheckpointManager(os.path.abspath(dir_b)).restore_variables()
+    assert ea == eb, (ea, eb)
+    mismatches = []
+    total = [0]
+
+    def cmp(path, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        total[0] += 1
+        if a.shape != b.shape or a.dtype != b.dtype or not np.array_equal(
+            a, b
+        ):
+            diff = (
+                float(np.max(np.abs(a.astype(np.float64)
+                                    - b.astype(np.float64))))
+                if a.shape == b.shape else float("inf")
+            )
+            mismatches.append((jax.tree_util.keystr(path), diff))
+
+    jax.tree_util.tree_map_with_path(cmp, va, vb)
+    return {
+        "leaves_compared": total[0],
+        "mismatched_leaves": len(mismatches),
+        "params_match": not mismatches,
+        "worst_abs_diff": max((d for _, d in mismatches), default=0.0),
+        "mismatches": mismatches[:10],
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "MULTIHOST_r03.json"))
+    ap.add_argument("--workdir", default=None,
+                    help="scratch dir (default: a TemporaryDirectory)")
+    # internal: oracle-mode entry (re-invoked in a fresh 8-device process)
+    ap.add_argument("--oracle", action="store_true")
+    ap.add_argument("--outdir")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.oracle:
+        run_oracle(args.outdir, args.epochs, args.resume)
+        return 0
+
+    tmp_ctx = (
+        tempfile.TemporaryDirectory()
+        if args.workdir is None
+        else None
+    )
+    work = args.workdir if args.workdir else tmp_ctx.name
+    os.makedirs(work, exist_ok=True)
+    mh_dir = os.path.join(work, "multihost")
+    or_dir = os.path.join(work, "oracle")
+
+    print("[1/4] multi-host: 2 processes x 4 devices, 1 epoch "
+          "(rendezvous, sharded train, collective save)", flush=True)
+    _run_multihost(mh_dir, epochs=1, resume=False,
+                   log_prefix=os.path.join(work, "mh_phase1"))
+    print("[2/4] multi-host: --resume from the collective checkpoint, "
+          "1 more epoch", flush=True)
+    _run_multihost(mh_dir, epochs=2, resume=True,
+                   log_prefix=os.path.join(work, "mh_phase2"))
+    print("[3/4] oracle: single process x 8 devices, same data order",
+          flush=True)
+    _run_oracle_subprocess(or_dir, epochs=1, resume=False,
+                           log_path=os.path.join(work, "oracle_phase1.log"))
+    _run_oracle_subprocess(or_dir, epochs=2, resume=True,
+                           log_path=os.path.join(work, "oracle_phase2.log"))
+    print("[4/4] compare final params bitwise", flush=True)
+    result = compare(mh_dir, or_dir)
+    steps_per_epoch = (DATASET_SIZE // 2) // (GLOBAL_BATCH // 2)
+    out = {
+        "ok": bool(result["params_match"]),
+        "n_processes": 2,
+        "devices_per_process": 4,
+        "global_devices": 8,
+        "epochs": 2,
+        "steps": 2 * steps_per_epoch,
+        "resumed_from_collective_checkpoint": True,
+        **result,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out, indent=2))
+    if tmp_ctx is not None:
+        tmp_ctx.cleanup()
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
