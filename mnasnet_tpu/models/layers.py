@@ -224,6 +224,33 @@ class BatchNorm(nn.Module):
         dt = self.dtype or x.dtype
         return x * inv.astype(dt) + shift.astype(dt)
 
+    def relu_train_region(self, x: jax.Array) -> jax.Array:
+        """Training-mode BN + ReLU with the Pallas region BACKWARD
+        (ops/pallas/bn_bwd.py — VERDICT r2 item 2a). Forward math and
+        running-stat updates are identical to ``__call__`` + ``nn.relu``;
+        only the autodiff of the normalize+relu region is replaced."""
+        from mnasnet_tpu.ops.pallas.bn_bwd import bn_relu_train
+
+        y, mean, var = bn_relu_train(
+            x, self.scale, self.bias, self.epsilon, self.stats
+        )
+        if not self.is_initializing():
+            n = x.size // x.shape[-1]
+            bessel = n / max(n - 1, 1)
+            if self.ema == "external":
+                self.mean.value = mean
+                self.var.value = var * bessel
+            else:
+                self.mean.value = (
+                    self.momentum * self.mean.value
+                    + (1.0 - self.momentum) * mean
+                )
+                self.var.value = (
+                    self.momentum * self.var.value
+                    + (1.0 - self.momentum) * var * bessel
+                )
+        return y
+
     def folded(self) -> tuple[jax.Array, jax.Array]:
         """Inference-time folded (scale, bias): ``y = x*scale + bias``.
 

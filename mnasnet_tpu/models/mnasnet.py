@@ -74,9 +74,13 @@ class InvertedResidual(nn.Module):
     bn_ema: str = "module"
     bn_momentum: float = 0.9997
     pw_lowering: str = "conv"
+    bn_bwd: str = "xla"
+    # Pad the expanded width up to a multiple of this (perf experiment —
+    # see MNASNet.channel_pad).
+    mid_pad: int = 1
 
     def setup(self):
-        mid = self.in_ch * self.expansion
+        mid = -(-self.in_ch * self.expansion // self.mid_pad) * self.mid_pad
         self.apply_residual = self.in_ch == self.out_ch and self.stride == 1
         self.expand_conv = PointwiseConv(
             self.in_ch, mid, dtype=self.dtype, precision=self.precision,
@@ -128,7 +132,11 @@ class InvertedResidual(nn.Module):
                 residual=self.apply_residual,
             )
         y = self.expand_conv(x)
-        y = nn.relu(self.expand_bn(y, use_running_average=not train))
+        region = train and self.bn_bwd == "pallas_region"
+        if region:
+            y = self.expand_bn.relu_train_region(y)
+        else:
+            y = nn.relu(self.expand_bn(y, use_running_average=not train))
         if not train and self.dw_impl != "xla":
             # Inference fallback: fused dw-conv + folded-BN + ReLU.
             s, b = self.dw_bn.folded()
@@ -141,7 +149,10 @@ class InvertedResidual(nn.Module):
                 y, self.dw_kernel, stride=self.stride, impl=self.dw_impl,
                 precision=self.precision,
             )
-            y = nn.relu(self.dw_bn(y, use_running_average=not train))
+            if region:
+                y = self.dw_bn.relu_train_region(y)
+            else:
+                y = nn.relu(self.dw_bn(y, use_running_average=not train))
         y = self.project_conv(y)
         y = self.project_bn(y, use_running_average=not train)  # linear bottleneck
         if self.apply_residual:
@@ -191,9 +202,23 @@ class MNASNet(nn.Module):
     # layout are UNCHANGED — the kernel is rearranged (pad+reshape) in-graph,
     # so gradients land on the original parameter.
     stem_s2d: bool = False
+    # BN(+ReLU) backward implementation: "xla" (autodiff, production) or
+    # "pallas_region" (the ops/pallas/bn_bwd.py region fusion — VERDICT r2
+    # item 2a; benchmarked in tools/bench_train_variants.py).
+    bn_bwd: str = "xla"
+    # Round every derived channel width (and MBConv expanded width) up to a
+    # multiple of this. Perf EXPERIMENT for the lane-tiling/copy question
+    # (VERDICT r2 item 2b): channels already occupy 128 hardware lanes
+    # regardless, so explicit padding costs ~no MXU/VPU time — if the padded
+    # graph steps faster, XLA's sub-128-lane relayouts were the cost. NOT
+    # checkpoint-compatible with the reference widths; A/B only.
+    channel_pad: int = 1
 
     def setup(self):
         d = get_depths(self.alpha)
+        if self.channel_pad > 1:
+            cp = self.channel_pad
+            d = [-(-w // cp) * cp for w in d]
         self.depths = d
         self.stem_conv = StemConv(
             d[0], dtype=self.dtype, precision=self.precision,
@@ -233,6 +258,8 @@ class MNASNet(nn.Module):
                         bn_ema=self.bn_ema,
                         bn_momentum=self.bn_momentum,
                         pw_lowering=self.pw_lowering,
+                        bn_bwd=self.bn_bwd,
+                        mid_pad=self.channel_pad,
                         name=f"stage{s}_block{j}",
                     )
                 )
@@ -254,7 +281,14 @@ class MNASNet(nn.Module):
     def features(self, x: jax.Array, train: bool = False) -> jax.Array:
         """Backbone up to the 1280-wide head feature map (pre-pool)."""
         x = x.astype(self.dtype)
-        y = nn.relu(self.stem_bn(self.stem_conv(x, train=train), use_running_average=not train))
+        region = train and self.bn_bwd == "pallas_region"
+
+        def bn_relu(bn, v):
+            if region:
+                return bn.relu_train_region(v)
+            return nn.relu(bn(v, use_running_average=not train))
+
+        y = bn_relu(self.stem_bn, self.stem_conv(x, train=train))
         if not train and self.dw_impl != "xla":
             s, b = self.sep_dw_bn.folded()
             y = depthwise_conv_bn_relu_fused(
@@ -264,11 +298,11 @@ class MNASNet(nn.Module):
         else:
             y = depthwise_conv2d(y, self.sep_dw_kernel, stride=1, impl=self.dw_impl,
                                  precision=self.precision)
-            y = nn.relu(self.sep_dw_bn(y, use_running_average=not train))
+            y = bn_relu(self.sep_dw_bn, y)
         y = self.sep_pw_bn(self.sep_pw_conv(y), use_running_average=not train)
         for block in self.blocks:
             y = block(y, train)  # positional: remat static_argnums
-        y = nn.relu(self.head_bn(self.head_conv(y), use_running_average=not train))
+        y = bn_relu(self.head_bn, self.head_conv(y))
         return y
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -54,11 +54,14 @@ def make_train_step(
     model,
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.1,
+    diagnostics: bool = False,
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
     """Returns train_step(state, images NHWC, labels) → (state, metrics).
 
     Jit with ``donate_argnums=(0,)`` at the call site so the old state's HBM
-    is reused.
+    is reused. ``diagnostics=True`` adds grad/param norms and max-|logit| to
+    the metrics (instability forensics — SURVEY.md §4.5; a few extra
+    reductions per step, off in production).
     """
     ema_decay = _ema_outside(model)
 
@@ -84,6 +87,11 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **topk_correct(logits, labels)}
+        if diagnostics:
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["update_norm"] = optax.global_norm(updates)
+            metrics["param_norm"] = optax.global_norm(new_params)
+            metrics["max_abs_logit"] = jnp.max(jnp.abs(logits))
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

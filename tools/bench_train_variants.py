@@ -16,20 +16,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Each variant: model/optimizer knob overrides on top of the defaults
+# (module EMA, unfused optimizer, one-pass BN, 'auto' dw, conv pw, no s2d).
+_BEST = dict(bn_ema="external", fused_opt="small", stem_s2d=True)
 VARIANTS = {
-    # name: (bn_ema, fused_opt, bn_stats, dw_impl, pw_lowering)
-    "base": ("module", False, "one_pass", "auto", "conv"),
-    "ema": ("external", False, "one_pass", "auto", "conv"),
-    "opt": ("module", True, "one_pass", "auto", "conv"),
-    "fused": ("external", True, "one_pass", "auto", "conv"),
-    "ema-optsmall": ("external", "small", "one_pass", "auto", "conv"),
-    "ema-twopass": ("external", False, "two_pass", "auto", "conv"),
-    "pwdot": ("module", False, "one_pass", "auto", "dot"),
-    "pwdot-ema": ("external", False, "one_pass", "auto", "dot"),
-    "s2d": ("module", False, "one_pass", "auto", "conv", True),
-    "best": ("external", "small", "one_pass", "auto", "conv", True),
-    "hyb2": ("module", False, "one_pass", "hybrid", "conv", False),
-    "best-hyb2": ("external", "small", "one_pass", "hybrid", "conv", True),
+    "base": dict(),
+    "ema": dict(bn_ema="external"),
+    "opt": dict(fused_opt=True),
+    "fused": dict(bn_ema="external", fused_opt=True),
+    "ema-optsmall": dict(bn_ema="external", fused_opt="small"),
+    "ema-twopass": dict(bn_ema="external", bn_stats="two_pass"),
+    "pwdot": dict(pw_lowering="dot"),
+    "pwdot-ema": dict(bn_ema="external", pw_lowering="dot"),
+    "s2d": dict(stem_s2d=True),
+    "best": dict(_BEST),
+    "hyb2": dict(dw_impl="hybrid"),
+    "best-hyb2": dict(_BEST, dw_impl="hybrid"),
+    # Round-3 candidates (VERDICT r2 item 2):
+    # (a) Pallas BN-bwd region fusion on top of the production config
+    "best-bnbwd": dict(_BEST, bn_bwd="pallas_region"),
+    "bnbwd": dict(bn_bwd="pallas_region"),
+    # (b) channel padding to full lane multiples (A/B: absolute ms/step —
+    # the padded model does MORE logical work; if ms/step stays flat the
+    # sub-128-lane tilings/relayouts were the cost)
+    "best-cpad64": dict(_BEST, channel_pad=64),
+    "best-cpad128": dict(_BEST, channel_pad=128),
 }
 
 
@@ -75,14 +86,9 @@ def main():
         )
         labels = jnp.zeros((bs,), jnp.int32)
         for name in args.variants.split(","):
-            v = VARIANTS[name]
-            bn_ema, fused_opt, bn_stats, dw_impl, pw_lowering = v[:5]
-            stem_s2d = v[5] if len(v) > 5 else False
-            model = create_model(
-                args.arch, dtype=jnp.bfloat16, dw_impl=dw_impl,
-                bn_stats=bn_stats, bn_ema=bn_ema, pw_lowering=pw_lowering,
-                stem_s2d=stem_s2d,
-            )
+            v = dict(VARIANTS[name])
+            fused_opt = v.pop("fused_opt", False)
+            model = create_model(args.arch, dtype=jnp.bfloat16, **v)
             variables = model.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, args.image_size, args.image_size, 3), jnp.bfloat16),

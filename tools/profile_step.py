@@ -41,6 +41,7 @@ def build_step(args):
     model = create_model(
         args.arch, dtype=jnp.bfloat16, dw_impl=args.dw_impl,
         bn_stats=args.bn_stats, remat=args.remat, bn_ema=args.bn_ema,
+        stem_s2d=args.stem_s2d,
     )
     variables = model.init(
         jax.random.PRNGKey(0),
@@ -62,7 +63,8 @@ def build_step(args):
 
         return run_one, None
 
-    tx = create_optimizer("rmsprop", 0.01, fused=args.fused_opt)
+    fused = {"none": False, "small": "small", "full": True}[args.fused_opt]
+    tx = create_optimizer("rmsprop", 0.01, fused=fused)
     state = TrainState.create(
         variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(0)
     )
@@ -103,7 +105,9 @@ def main():
     p.add_argument("--dw-impl", default="auto")
     p.add_argument("--bn-stats", default="one_pass")
     p.add_argument("--bn-ema", default="module", choices=["module", "external"])
-    p.add_argument("--fused-opt", action="store_true")
+    p.add_argument("--fused-opt", default="none",
+                   choices=["none", "small", "full"])
+    p.add_argument("--stem-s2d", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--json", default=None, help="write raw rows to this file")
     p.add_argument("--logdir", default=None)

@@ -82,7 +82,7 @@ def main():
     ap.add_argument("--val-size", type=int, default=512)
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--json", default="CONVERGENCE_r02.json")
+    ap.add_argument("--json", default="CONVERGENCE_r03.json")
     ap.add_argument("--target-top1", type=float, default=90.0)
     args = ap.parse_args()
 
@@ -130,7 +130,7 @@ def main():
     tx = create_optimizer(args.optimizer, schedule)
     trainer = Trainer(
         model, tx, label_smoothing=0.1, compute_dtype=dtype,
-        schedule=schedule, print_freq=10,
+        schedule=schedule, print_freq=10, diagnostics=True,
     )
     state = trainer.create_state(jax.random.PRNGKey(0), args.image_size)
 
@@ -138,16 +138,28 @@ def main():
     t0 = time.time()
     for epoch in range(args.epochs):
         state = trainer.train_epoch(state, train_loader, epoch)
+        diag = {k: round(v, 4) for k, v in trainer.epoch_diag.items()}
+        tstats = {k: round(v, 4) for k, v in trainer.epoch_train_stats.items()}
         acc1, acc5, vloss = trainer.validate(state, val_loader)
         tr1, tr5, trloss = trainer.validate(state, train_loader, verbose=False)
         curve.append({
             "epoch": epoch,
-            "train_top1": round(tr1, 3), "train_loss": round(trloss, 4),
+            # Training-mode curve (batch-stats BN): the honest optimization
+            # trajectory — this is what must stay O(ln C) early.
+            "train_loss": tstats["loss"], "train_top1": tstats["top1"],
+            # Eval-mode re-scores (running-stats BN): lag the weights by the
+            # EMA horizon — see the bn_ema_note in the recipe block.
+            "train_top1_evalmode": round(tr1, 3),
+            "train_loss_evalmode": round(trloss, 4),
             "val_top1": round(acc1, 3), "val_loss": round(vloss, 4),
             "lr": float(schedule((epoch + 1) * steps_per_epoch)),
+            **diag,
         })
-        print(f"[smoke] epoch {epoch}: train_top1={tr1:.2f} "
-              f"val_top1={acc1:.2f} ({time.time()-t0:.0f}s)", flush=True)
+        print(f"[smoke] epoch {epoch}: train_loss={tstats['loss']:.3f} "
+              f"train_top1={tstats['top1']:.2f} val_top1={acc1:.2f} "
+              f"max|logit|={diag.get('max_max_abs_logit', 0):.1f} "
+              f"gnorm={diag.get('max_grad_norm', 0):.2f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
 
     final = curve[-1]
     result = {
