@@ -100,7 +100,14 @@ def random_resized_crop(
     ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
 ) -> Image.Image:
     top, left, h, w = random_resized_crop_params(rng, *img.size, scale, ratio)
-    return img.resize((size, size), _BILINEAR, box=(left, top, left + w, top + h))
+    # crop THEN resize (torchvision resized_crop semantics). A single
+    # resize(box=...) call is NOT equivalent: PIL clamps the filter support
+    # to the full image, so out-of-box pixels bleed into the edge rows/cols
+    # (up to 32/255 off vs the torch tensor-backend oracle — caught by
+    # tests/test_transform_torch_parity.py; crop-then-resize agrees ≤1/255).
+    return img.crop((left, top, left + w, top + h)).resize(
+        (size, size), _BILINEAR
+    )
 
 
 def to_float_array(img: Image.Image) -> np.ndarray:
