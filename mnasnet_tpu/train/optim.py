@@ -43,8 +43,16 @@ def scale_by_rms_tf(
     """
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return ScaleByRmsTFState(ms=zeros, mom=jax.tree.map(jnp.zeros_like, params))
+        # ms starts at ONES like TF1's RMSPropOptimizer mean_square slot
+        # (optax scale_by_rms(initial_scale=1.) equivalent). Starting at 0
+        # (torch's choice) makes the first updates ≈ lr·g/√((1-decay)·g²)
+        # = 3.16·lr·sign(g) — a coherent full-magnitude kick on every
+        # parameter that blew epoch-0 losses to 1e6 in the round-2
+        # convergence runs (BASELINE.md round 3).
+        return ScaleByRmsTFState(
+            ms=jax.tree.map(jnp.ones_like, params),
+            mom=jax.tree.map(jnp.zeros_like, params),
+        )
 
     def update_fn(updates, state, params=None):
         del params
@@ -227,10 +235,10 @@ def rmsprop_tf(
     sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
+        # ms=1 at init — TF1 RMSPropOptimizer semantics (see scale_by_rms_tf)
         return State(
             count=jnp.zeros([], jnp.int32),
-            ms=zeros,
+            ms=jax.tree.map(jnp.ones_like, params),
             mom=jax.tree.map(jnp.zeros_like, params),
         )
 
