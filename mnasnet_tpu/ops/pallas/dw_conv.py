@@ -118,6 +118,21 @@ def _dw_s2_kernel(x00, x01, x10, x11, w_ref, s_ref, b_ref, o_ref,
     jax.lax.fori_loop(0, Ho // hc, chunk, 0)
 
 
+def _vmem_headroom():
+    """Raise the kernel's scoped-vmem ceiling (default 16 MiB) to 64 MiB.
+
+    The kernels' own windows stay small (~4 MiB; _ACC_BUDGET chunking), but
+    when the WHOLE result tensor squeezes under the scoped limit (e.g.
+    bs16 x 112x112x32 bf16 = 12.8 MiB) XLA stack-allocates it in scoped
+    vmem next to the kernel buffers and overflows the 16 MiB default —
+    a bs~16-only compile failure sitting between the small-batch serving
+    shapes and the bs>=64 throughput shapes (caught by the r3 latency
+    sweep). Headroom makes that placement legal; it does not change the
+    block shapes.
+    """
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _plane_spec(shape_hw, cb, rank4=True):
     # block (1, H, W, cb) at grid point (n, c)
     return pl.BlockSpec(
@@ -193,6 +208,7 @@ def _dw_fused_raw(
                 pltpu.VMEM((H + 2 * padding, W + 2 * padding, cb), x.dtype)
             ],
             interpret=_interpret(),
+            compiler_params=_vmem_headroom(),
         )(x, w, s2, b2)
 
     if stride == 2:
@@ -219,6 +235,7 @@ def _dw_fused_raw(
             out_specs=out_spec,
             out_shape=out_shape,
             interpret=_interpret(),
+            compiler_params=_vmem_headroom(),
         )(*planes, w, s2, b2)
 
     raise NotImplementedError(f"stride {stride}")

@@ -21,9 +21,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def main():
@@ -94,14 +96,19 @@ def main():
     for bs in batches:
         row = {"batch": bs}
         for impl in ("auto", "pallas"):
-            t = bench(impl, bs)
+            try:
+                t = bench(impl, bs)
+            except Exception as e:  # record, keep sweeping
+                row[f"{impl}_error"] = str(e)[:300]
+                continue
             row[f"{impl}_ms"] = round(t * 1e3, 4)
             row[f"{impl}_ips"] = round(bs / t, 1)
-        row["pallas_speedup"] = round(row["auto_ms"] / row["pallas_ms"], 3)
+        if "auto_ms" in row and "pallas_ms" in row:
+            row["pallas_speedup"] = round(row["auto_ms"] / row["pallas_ms"], 3)
         table.append(row)
         print(json.dumps(row), flush=True)
 
-    wins = [r["batch"] for r in table if r["pallas_speedup"] > 1.02]
+    wins = [r["batch"] for r in table if r.get("pallas_speedup", 0) > 1.02]
     out = {
         "arch": args.arch,
         "image_size": img,

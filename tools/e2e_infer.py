@@ -23,12 +23,14 @@ import argparse
 import io
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def make_jpeg_tree(root: str, n_images: int, n_classes: int = 8,
