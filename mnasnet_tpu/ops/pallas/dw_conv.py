@@ -119,18 +119,21 @@ def _dw_s2_kernel(x00, x01, x10, x11, w_ref, s_ref, b_ref, o_ref,
 
 
 def _vmem_headroom():
-    """Raise the kernel's scoped-vmem ceiling (default 16 MiB) to 64 MiB.
+    """Scoped-vmem ceiling for the dw kernels: 24 MiB.
 
-    The kernels' own windows stay small (~4 MiB; _ACC_BUDGET chunking), but
-    when the WHOLE result tensor squeezes under the scoped limit (e.g.
-    bs16 x 112x112x32 bf16 = 12.8 MiB) XLA stack-allocates it in scoped
-    vmem next to the kernel buffers and overflows the 16 MiB default —
-    a bs~16-only compile failure sitting between the small-batch serving
+    The kernels' own windows are small (~4 MiB; _ACC_BUDGET chunking). But
+    whenever the WHOLE result tensor fits under the scoped limit (e.g.
+    bs16 x 112x112x32 bf16 = 12.8 MiB), XLA stack-allocates it in scoped
+    vmem next to the kernel windows and can overflow the ceiling — a
+    mid-batch-size-only compile failure sitting between the small serving
     shapes and the bs>=64 throughput shapes (caught by the r3 latency
-    sweep). Headroom makes that placement legal; it does not change the
-    block shapes.
+    sweep; Mosaic reported an 18.03M requirement against the 16M default).
+    Empirically (bs 1..128 swept on the v5e) 24 MiB is above the observed
+    requirement at every batch size, while 16M fails at bs16, 8M at bs64,
+    and 64M re-breaks bs64/128 by legalising even larger stack placements.
+    Block shapes are unchanged by this parameter.
     """
-    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
 
 
 def _plane_spec(shape_hw, cb, rank4=True):

@@ -199,6 +199,14 @@ def mbconv_fused(
             ), cdt),
         ],
         interpret=_interpret(),
+        # Same scoped-vmem pitfall as dw_conv._vmem_headroom: when the whole
+        # result tensor fits under the scoped ceiling, XLA stack-allocates it
+        # next to the kernel windows and overflows the 16 MiB default (bs16
+        # needs 18.03M — caught by the r3 latency sweep). 24 MiB clears the
+        # observed Mosaic floor at every batch size without changing blocks.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
     )(x, we_c, a32(se), a32(be), wd_c, a32(sd), a32(bd),
       wp_c, a32(sp), a32(bp))
 

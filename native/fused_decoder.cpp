@@ -87,6 +87,14 @@ void build_weights(int in_size, int out_size, double box0, double box1,
   const double scale = (box1 - box0) / out_size;
   const double filterscale = std::max(scale, 1.0);
   const double support = 1.0 * filterscale;  // triangle support == 1
+  // crop-then-resize semantics (torchvision resized_crop): filter support is
+  // clamped to the BOX, not the full image — otherwise out-of-box pixels
+  // bleed into edge rows/cols (the RRC parity bug the torch-oracle goldens
+  // caught in the Python path; mnasnet_tpu/data/transforms.py
+  // random_resized_crop has the same fix). For the eval path the box IS the
+  // full image, so the clamp below is identical to the old [0, in_size).
+  const int lo = std::max(0, static_cast<int>(std::floor(box0)));
+  const int hi = std::min(in_size, static_cast<int>(std::ceil(box1)));
   t->xmin.resize(out_size);
   t->xcount.resize(out_size);
   const int kmax = static_cast<int>(std::ceil(support)) * 2 + 1;
@@ -95,9 +103,9 @@ void build_weights(int in_size, int out_size, double box0, double box1,
   for (int xx = 0; xx < out_size; ++xx) {
     const double center = box0 + (xx + 0.5) * scale;
     int xmin = static_cast<int>(center - support + 0.5);
-    if (xmin < 0) xmin = 0;
+    if (xmin < lo) xmin = lo;
     int xmax = static_cast<int>(center + support + 0.5);
-    if (xmax > in_size) xmax = in_size;
+    if (xmax > hi) xmax = hi;
     double sum = 0.0;
     std::vector<double> wd(xmax - xmin);
     for (int x = xmin; x < xmax; ++x) {
