@@ -152,14 +152,20 @@ def main():
         for workers in worker_counts:
             loader = make_loader(decoder, workers)
             run_e2e(loader)  # warm jit + page cache
-            e2e = run_e2e(loader)
-            host = run_loader_only(loader)
+            # best-of-3: single full passes on a contended 1-core host are
+            # noisy (thread scheduling vs the prefetch/dispatch thread);
+            # max-of-repeats is the standard debias for timing floors.
+            e2e = max(run_e2e(loader) for _ in range(3))
+            host = max(run_loader_only(loader) for _ in range(2))
             row = {
                 "decoder": decoder,
                 "workers": workers,
                 "e2e_ips": round(e2e, 1),
                 "loader_only_ips": round(host, 1),
-                "host_bound": bool(e2e > 0.9 * host),
+                # host-bound iff the chip could absorb far more than the
+                # host delivers (loader-only comparison misleads on a 1-core
+                # host: predict dispatch steals CPU from the loader).
+                "host_bound": bool(e2e < 0.5 * device_ips),
             }
             table.append(row)
             print(json.dumps(row), flush=True)
