@@ -9,6 +9,23 @@ kernel inside libtorch (SURVEY.md §2.3 N2). The TPU-native equivalent here:
   * ``impl='pallas'`` — hand-written VMEM-resident Pallas kernel
     (``mnasnet_tpu.ops.pallas``) with custom VJP; the fused
     conv+BN+ReLU variant is the contract's centerpiece kernel.
+  * ``impl='taps'``  — pure-XLA tap-sum formulation: the k² kernel taps as
+    strided-slice multiplies accumulated in fp32. Same math, *no conv
+    emitter and no custom_vjp boundary* — autodiff of this forward yields
+    the tap-wise wgrad (the formulation that beats XLA's depthwise wgrad
+    emitter by up to 30× per-op on the stride-2 layers) while remaining
+    fully fusable with the surrounding BN/ReLU chains. Built to answer
+    whether 'hybrid''s e2e loss was purely the custom_vjp fusion barrier.
+    MEASURED NEGATIVE e2e (BASELINE.md round 3): 65.9 ms/step vs 15.1
+    baseline at bs128 — XLA executes the k² slice-mul-adds as separate
+    plane-sized loop fusions (fp32, 2×-wide) instead of the conv emitter's
+    windowed VMEM reuse, so forward+backward traffic balloons ~k²×. The
+    'hybrid' loss was therefore NOT just the custom_vjp boundary; the
+    conv emitter's window reuse is load-bearing. Kept selectable as a
+    tested, documented negative.
+  * ``impl='taps2'`` — taps for stride-2 layers only (the three wgrads
+    DW_ROOFLINE_r02.json shows below roofline), XLA elsewhere. Also
+    measured negative (43.9 ms/step, same mechanism).
   * ``impl='auto'``  — pallas on TPU backends when the shape qualifies,
     XLA otherwise (CPU tests, odd shapes).
 
@@ -36,6 +53,41 @@ def _xla_depthwise(x, kernel, stride, padding, precision=None):
         feature_group_count=c,
         precision=precision,
     )
+
+
+def _taps_depthwise(x, kernel, stride, padding):
+    """Depthwise conv as an explicit k²-tap multiply-accumulate.
+
+    y[n,i,j,c] = Σ_{u,v} xp[n, i·s+u, j·s+v, c] · w[u,v,c]  (xp zero-padded)
+
+    Each tap is a (strided) slice of the padded input times a broadcast
+    per-channel weight, accumulated in fp32 (k² bf16 adds would cost
+    mantissa; the VPU computes in fp32 regardless, so the accumulator dtype
+    is ~free). All ops are elementwise/slice — XLA fuses the whole tap sum
+    with the surrounding BN/ReLU into one loop fusion, and autodiff
+    produces (a) tap-wise wgrad: Σ_{n,i,j} window·g — plane reductions
+    instead of the pathological strided conv-wgrad emitter — and (b)
+    tap-wise dx: transpose-of-slice = dilated pad-adds. No custom_vjp
+    boundary anywhere, so cross-op fusion is preserved (the thing that
+    sank 'hybrid', BASELINE.md round 1/2)."""
+    k = kernel.shape[0]
+    N, H, W, C = x.shape
+    Ho = (H + 2 * padding - k) // stride + 1
+    Wo = (W + 2 * padding - k) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    w32 = kernel.astype(jnp.float32)
+    acc = None
+    for u in range(k):
+        for v in range(k):
+            win = lax.slice(
+                xp,
+                (0, u, v, 0),
+                (N, u + (Ho - 1) * stride + 1, v + (Wo - 1) * stride + 1, C),
+                (1, stride, stride, 1),
+            )
+            t = win.astype(jnp.float32) * w32[u, v, 0]
+            acc = t if acc is None else acc + t
+    return acc.astype(x.dtype)
 
 
 def dw_transposed_dx(g, kernel, stride, padding, H, W):
@@ -163,6 +215,8 @@ def depthwise_conv2d(
         padding = k // 2
     if impl == "xla":
         return _xla_depthwise(x, kernel, stride, padding, precision)
+    if impl == "taps" or (impl == "taps2" and stride == 2):
+        return _taps_depthwise(x, kernel, stride, padding)
     if impl == "pallas" or (impl == "auto" and _pallas_ok(x, kernel, stride)):
         from mnasnet_tpu.ops.pallas.dw_conv import depthwise_conv_pallas
 

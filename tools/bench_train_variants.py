@@ -41,6 +41,14 @@ VARIANTS = {
     # sub-128-lane tilings/relayouts were the cost)
     "best-cpad64": dict(_BEST, channel_pad=64),
     "best-cpad128": dict(_BEST, channel_pad=128),
+    # Round-3 follow-up: pure-XLA tap-sum dw forward — autodiff yields the
+    # tap-wise wgrad WITHOUT the custom_vjp fusion barrier that sank 'hybrid'.
+    "best-taps": dict(_BEST, dw_impl="taps"),
+    "best-taps2": dict(_BEST, dw_impl="taps2"),
+    "taps": dict(dw_impl="taps"),
+    # Remat A/B on the production config (trade recompute for spill traffic —
+    # the copy storm is mid-graph spills per BASELINE.md round 2).
+    "best-remat": dict(_BEST, remat=True),
 }
 
 
