@@ -20,6 +20,7 @@ Run on the real TPU (default env: JAX_PLATFORMS=axon). ~3-5 min (compiles).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -42,6 +43,7 @@ def main():
     from mnasnet_tpu.train.optim import create_optimizer
     from mnasnet_tpu.train.state import TrainState
     from mnasnet_tpu.train.steps import make_predict_fn, make_train_step
+    from mnasnet_tpu.utils.xla_options import default_compiler_options
 
     n_chips = jax.device_count()
     bs = args.batch_size
@@ -87,11 +89,12 @@ def main():
 
     results = {}
 
-    def bench_infer(model, variables, x):
+    def bench_infer(model, variables, x, optimized=False):
         predict = make_predict_fn(model)
+        opts = default_compiler_options() if optimized else None
 
         def make_chain(iters):
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=opts)
             def f(x):
                 def body(_, carry):
                     x, acc = carry
@@ -112,9 +115,10 @@ def main():
             jax.random.PRNGKey(0),
         )
         step = make_train_step(model, tx, 0.1)
+        opts = default_compiler_options() if optimized else None
 
         def make_chain(iters):
-            @jax.jit
+            @functools.partial(jax.jit, compiler_options=opts)
             def f(state, x):
                 def body(_, carry):
                     state, x, acc = carry
@@ -132,8 +136,10 @@ def main():
         return slope_time(make_chain)
 
     # optimized: bf16 + auto kernel routing + fused update paths + s2d stem
+    # + tuned XLA:TPU compile options (utils/xla_options.py)
     model, variables = build(jnp.bfloat16, "auto", optimized=True)
-    results["infer_ips"] = bs / bench_infer(model, variables, images)
+    results["infer_ips"] = bs / bench_infer(model, variables, images,
+                                            optimized=True)
     if args.mode in ("train", "both"):
         results["train_ips"] = bs / bench_train(model, variables, images,
                                                 optimized=True)

@@ -35,6 +35,7 @@ from mnasnet_tpu.train.steps import (
     make_train_step,
 )
 from mnasnet_tpu.utils.meters import AverageMeter, ProgressMeter
+from mnasnet_tpu.utils.xla_options import default_compiler_options
 
 
 class Trainer:
@@ -81,16 +82,21 @@ class Trainer:
             step_fn = make_local_bn_train_step(
                 model, tx, label_smoothing, mesh=self.mesh
             )
+        # Tuned XLA:TPU compile options (utils/xla_options.py) — the
+        # short-transfer chunking fix measured +9-14% on the train step.
+        opts = default_compiler_options()
         self._train_step = jax.jit(
             step_fn,
             donate_argnums=(0,),
             in_shardings=(repl, *data_in),
             out_shardings=(repl, repl),
+            compiler_options=opts,
         )
         self._eval_step = jax.jit(
             make_eval_step(model),
             in_shardings=(repl, repl, *data_in),
             out_shardings=repl,
+            compiler_options=opts,
         )
 
     # ------------------------------------------------------------------ init
@@ -196,6 +202,7 @@ def make_jit_eval_step(model, mesh=None):
         make_eval_step(model),
         in_shardings=(repl, repl, *data_in),
         out_shardings=repl,
+        compiler_options=default_compiler_options(),
     )
 
 

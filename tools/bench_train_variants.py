@@ -10,6 +10,7 @@ Usage: python tools/bench_train_variants.py --batch-sizes 128,256 \
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -61,7 +62,21 @@ def main():
     p.add_argument("--iters-lo", type=int, default=4)
     p.add_argument("--iters-hi", type=int, default=16)
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument(
+        "--compiler-options",
+        default=None,
+        help="JSON dict of XLA:TPU compile options attached to the jit'd "
+        "chain (e.g. '{\"xla_tpu_scoped_vmem_limit_kib\": \"65536\"}'). "
+        "Unlike LIBTPU_INIT_ARGS these DO travel through the axon "
+        "remote-compile tunnel (invalid names raise from the remote "
+        "compile helper — validated round 3).",
+    )
     args = p.parse_args()
+    compiler_options = (
+        __import__("json").loads(args.compiler_options)
+        if args.compiler_options
+        else None
+    )
 
     import jax
     import jax.numpy as jnp
@@ -110,7 +125,7 @@ def main():
             step = make_train_step(model, tx, 0.1)
 
             def make_chain(iters):
-                @jax.jit
+                @functools.partial(jax.jit, compiler_options=compiler_options)
                 def f(state, x):
                     def body(_, carry):
                         state, x, acc = carry

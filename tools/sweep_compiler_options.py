@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Sweep XLA:TPU compile options on the production train step (round 3).
+
+Rounds 1-3 concluded the bs128 step is conv-emitter-bound and recorded
+"no flag surface exists through the axon tunnel (LIBTPU_INIT_ARGS not
+forwarded)". That conclusion missed a second surface: ``jax.jit(...,
+compiler_options=...)`` attaches XLA:TPU flags to the compile request
+itself, and the axon remote-compile helper *parses* them (an invalid flag
+name raises HTTP 500 from the helper — verified). This tool sweeps the
+plausible emitter/fusion/copy knobs on the real 'best'-config train step
+and records ms/step per option set.
+
+Usage: python tools/sweep_compiler_options.py [--out SWEEP_XLAFLAGS_r03.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Each entry: (label, {flag: value}). Values are strings (PJRT env-option
+# format). Baseline (no options) is measured first and interleaved
+# re-measured at the end to bound drift.
+SWEEPS = [
+    ("vmem32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
+    ("vmem64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    ("vmem96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
+    ("fusion-cost", {"xla_tpu_enable_experimental_fusion_cost_model": "true"}),
+    ("bundle-cost", {"xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"}),
+    ("nested-fusion", {"xla_tpu_enable_multi_level_nested_loop_fusion": "true"}),
+    ("licm4", {"xla_tpu_licm_size_inflation_ratio": "4"}),
+    ("no-rwb", {"xla_tpu_rwb_fusion": "false"}),
+    ("copy-chunks", {"xla_tpu_nd_short_transfer_max_chunks": "4096"}),
+    ("lhs", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    (
+        "vmem64m+fusion-cost",
+        {
+            "xla_tpu_scoped_vmem_limit_kib": "65536",
+            "xla_tpu_enable_experimental_fusion_cost_model": "true",
+        },
+    ),
+    # Refinement round: value sweep of the winning knob + pairwise combos
+    # with the other measured positive (select with --only).
+    ("copy-chunks1k", {"xla_tpu_nd_short_transfer_max_chunks": "1024"}),
+    ("copy-chunks2k", {"xla_tpu_nd_short_transfer_max_chunks": "2048"}),
+    ("copy-chunks8k", {"xla_tpu_nd_short_transfer_max_chunks": "8192"}),
+    ("copy-chunks16k", {"xla_tpu_nd_short_transfer_max_chunks": "16384"}),
+    (
+        "copy-chunks+nested-fusion",
+        {
+            "xla_tpu_nd_short_transfer_max_chunks": "4096",
+            "xla_tpu_enable_multi_level_nested_loop_fusion": "true",
+        },
+    ),
+    (
+        "copy-chunks+vmem64m",
+        {
+            "xla_tpu_nd_short_transfer_max_chunks": "4096",
+            "xla_tpu_scoped_vmem_limit_kib": "65536",
+        },
+    ),
+    (
+        "copy-chunks+lhs",
+        {
+            "xla_tpu_nd_short_transfer_max_chunks": "4096",
+            "xla_tpu_enable_latency_hiding_scheduler": "true",
+        },
+    ),
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="mnasnet1_0")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--iters-lo", type=int, default=4)
+    p.add_argument("--iters-hi", type=int, default=16)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--out", default=None)
+    p.add_argument("--only", default=None,
+                   help="comma-separated sweep labels to run")
+    p.add_argument("--mode", choices=["train", "infer"], default="train",
+                   help="which production step to sweep")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mnasnet_tpu import create_model
+    from mnasnet_tpu.train.optim import create_optimizer
+    from mnasnet_tpu.train.state import TrainState
+    from mnasnet_tpu.train.steps import make_predict_fn, make_train_step
+
+    bs = args.batch_size
+    images = jax.random.normal(
+        jax.random.PRNGKey(0), (bs, args.image_size, args.image_size, 3),
+        jnp.bfloat16,
+    )
+    labels = jnp.zeros((bs,), jnp.int32)
+
+    # Production 'best' config (BASELINE.md): external EMA, fused small
+    # updates, s2d stem, auto dw, rmsprop.
+    model = create_model(
+        args.arch, dtype=jnp.bfloat16, bn_ema="external", stem_s2d=True
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.image_size, args.image_size, 3), jnp.bfloat16),
+        train=False,
+    )
+    tx = create_optimizer("rmsprop", 0.01, fused="small")
+    state0 = TrainState.create(
+        variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(0)
+    )
+    step = make_train_step(model, tx, 0.1)
+    predict = make_predict_fn(model)
+
+    def make_chain(iters, options):
+        if args.mode == "infer":
+            def f(x):
+                def body(_, carry):
+                    x, acc = carry
+                    y = predict(
+                        variables["params"], variables["batch_stats"], x
+                    )
+                    return (-x, acc + jnp.sum(y))
+                return lax.fori_loop(
+                    0, iters, body, (x, jnp.zeros((), jnp.float32))
+                )[1]
+            jf = jax.jit(f, compiler_options=options or None)
+            return lambda: jf(images)
+
+        def f(state, x):
+            def body(_, carry):
+                state, x, acc = carry
+                state, metrics = step(state, x, labels)
+                return (state, -x, acc + metrics["loss"])
+            _, _, acc = lax.fori_loop(
+                0, iters, body, (state, x, jnp.zeros((), jnp.float32))
+            )
+            return acc
+        jf = jax.jit(f, compiler_options=options or None)
+        return lambda: jf(state0, images)
+
+    def slope(options):
+        f_lo = make_chain(args.iters_lo, options)
+        f_hi = make_chain(args.iters_hi, options)
+        jax.block_until_ready(f_lo())
+        jax.block_until_ready(f_hi())
+        best = None
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f_lo())
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(f_hi())
+            t_hi = time.perf_counter() - t0
+            s = (t_hi - t_lo) / (args.iters_hi - args.iters_lo)
+            best = s if best is None else min(best, s)
+        return best
+
+    sweeps = SWEEPS
+    if args.only:
+        keep = set(args.only.split(","))
+        sweeps = [s for s in SWEEPS if s[0] in keep]
+
+    results = []
+
+    def run(label, options):
+        try:
+            t = slope(options)
+            print(f"{label:22} {t*1e3:7.3f} ms/step  {bs/t:9,.0f} img/s",
+                  flush=True)
+            results.append({"label": label, "options": options,
+                            "ms_per_step": t * 1e3, "img_s": bs / t})
+        except Exception as e:  # invalid flag for this compiler version, OOM…
+            print(f"{label:22} FAILED: {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            results.append({"label": label, "options": options,
+                            "error": f"{type(e).__name__}: {str(e)[:300]}"})
+
+    run("baseline", {})
+    for label, options in sweeps:
+        run(label, options)
+    run("baseline-recheck", {})
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "arch": args.arch,
+                    "image_size": args.image_size,
+                    "batch_size": bs,
+                    "mode": args.mode,
+                    "method": "slope-timed fori_loop chains, min over "
+                              f"{args.repeats} repeats",
+                    "results": results,
+                },
+                f, indent=1,
+            )
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
