@@ -38,6 +38,8 @@ def build_step(args):
     from mnasnet_tpu.train.state import TrainState
     from mnasnet_tpu.train.steps import make_predict_fn, make_train_step
 
+    opts = json.loads(args.compiler_options) if args.compiler_options else None
+
     model = create_model(
         args.arch, dtype=jnp.bfloat16, dw_impl=args.dw_impl,
         bn_stats=args.bn_stats, remat=args.remat, bn_ema=args.bn_ema,
@@ -55,7 +57,7 @@ def build_step(args):
     labels = jnp.zeros((args.batch_size,), jnp.int32)
 
     if args.mode == "infer":
-        predict = jax.jit(make_predict_fn(model))
+        predict = jax.jit(make_predict_fn(model), compiler_options=opts)
         p, bs = variables["params"], variables["batch_stats"]
 
         def run_one(state):
@@ -68,7 +70,8 @@ def build_step(args):
     state = TrainState.create(
         variables["params"], variables["batch_stats"], tx, jax.random.PRNGKey(0)
     )
-    step = jax.jit(make_train_step(model, tx, 0.1), donate_argnums=(0,))
+    step = jax.jit(make_train_step(model, tx, 0.1), donate_argnums=(0,),
+                   compiler_options=opts)
 
     def run_one(state):
         state, metrics = step(state, images, labels)
@@ -109,6 +112,12 @@ def main():
                    choices=["none", "small", "full"])
     p.add_argument("--stem-s2d", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument(
+        "--compiler-options", default=None,
+        help="JSON dict of XLA:TPU compile options attached to the step jit "
+        "(verifies e.g. the nd_short_transfer win per-op; see "
+        "utils/xla_options.py)",
+    )
     p.add_argument("--json", default=None, help="write raw rows to this file")
     p.add_argument("--logdir", default=None)
     p.add_argument("--top", type=int, default=25)

@@ -71,6 +71,14 @@ SWEEPS = [
             "xla_tpu_enable_latency_hiding_scheduler": "true",
         },
     ),
+    # Remaining valid-probe knobs not yet A/B'd (copy/layout/dot families).
+    ("no-dot-strength-red", {"xla_tpu_enable_dot_strength_reduction": "false"}),
+    ("scoped-vmem-offset", {"xla_tpu_allocate_scoped_vmem_at_same_offset": "false"}),
+    ("copy-pad-unpad0", {"xla_tpu_copy_fusion_pad_unpad_ratio": "0"}),
+    ("dot-grouping", {"xla_tpu_layout_use_dot_grouping": "true"}),
+    ("order-dot-after-layout", {"xla_tpu_order_dot_after_layout": "true"}),
+    ("prefetch-repeated", {"xla_tpu_use_repeated_instance_for_preferred_prefetch_time": "true"}),
+    ("reduce-loop-dup", {"xla_tpu_reduce_loop_fusion_dup_with_unfusable_user": "true"}),
 ]
 
 
