@@ -89,9 +89,31 @@ def main():
 
     results = {}
 
+    def resolved_options(optimized):
+        # The tuned flags are validated against THIS deployment's compiler
+        # (tools/probe_compiler_options.py), but a toolchain swap could
+        # invalidate a name and unknown names fail compiles loudly. The
+        # bench must never lose the round's artifact to that: probe the
+        # options on a trivial jit first and fall back to None.
+        if not optimized:
+            return None
+        opts = default_compiler_options()
+        if not opts:
+            return None
+        try:
+            jax.block_until_ready(
+                jax.jit(lambda a: a + 1, compiler_options=opts)(
+                    jnp.zeros((8, 128), jnp.float32)
+                )
+            )
+            return opts
+        except Exception:
+            results["xla_options_fallback"] = 1.0  # rejected -> benched bare
+            return None
+
     def bench_infer(model, variables, x, optimized=False):
         predict = make_predict_fn(model)
-        opts = default_compiler_options() if optimized else None
+        opts = resolved_options(optimized)
 
         def make_chain(iters):
             @functools.partial(jax.jit, compiler_options=opts)
@@ -115,7 +137,7 @@ def main():
             jax.random.PRNGKey(0),
         )
         step = make_train_step(model, tx, 0.1)
-        opts = default_compiler_options() if optimized else None
+        opts = resolved_options(optimized)
 
         def make_chain(iters):
             @functools.partial(jax.jit, compiler_options=opts)
