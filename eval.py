@@ -29,11 +29,18 @@ def main(argv=None):
     p.add_argument("--fused-kernels", choices=["auto", "pallas", "xla"],
                    default="auto")
     p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--compilation-cache", default=None, metavar="DIR",
+                   help="persistent XLA compile cache dir (default: "
+                        "$MNASNET_TPU_COMPILATION_CACHE or off)")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from mnasnet_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache)
 
     from mnasnet_tpu import create_model
     from mnasnet_tpu.convert.torch_converter import torch_to_flax

@@ -20,7 +20,12 @@ import time
 
 
 def parse_args(argv=None):
-    p = argparse.ArgumentParser(description="MNASNet TPU ImageNet training")
+    p = argparse.ArgumentParser(
+        description="MNASNet TPU ImageNet training",
+        epilog="Env: MNASNET_TPU_XLA_OPTIONS overrides the tuned XLA:TPU "
+        "compile options attached to the train/eval steps ('none' disables; "
+        "a JSON dict replaces them — see mnasnet_tpu/utils/xla_options.py).",
+    )
     p.add_argument("data", nargs="?", default=None,
                    help="path to dataset root (train/ and val/ subdirs)")
     p.add_argument("--arch", default="mnasnet1_0",
@@ -133,6 +138,10 @@ def parse_args(argv=None):
                    help="N:M — jax.profiler trace of train steps N..M (epoch 0)")
     p.add_argument("--tensorboard", default="",
                    help="TensorBoard log dir (empty = off)")
+    p.add_argument("--compilation-cache", default=None, metavar="DIR",
+                   help="persistent XLA compile cache dir (restarts/resumes "
+                        "skip the 20-40s step compile); default: "
+                        "$MNASNET_TPU_COMPILATION_CACHE or off")
     args = p.parse_args(argv)
     # Reference-boolean `--pretrained` placed before the positional makes
     # argparse greedily consume DATA_DIR as the flag's value. Undo that:
@@ -180,6 +189,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from mnasnet_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache)
     maybe_init_distributed(args)
 
     seed = args.seed if args.seed is not None else int(time.time()) % (2**31)
