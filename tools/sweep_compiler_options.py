@@ -181,25 +181,11 @@ def main():
 
     results = []
 
-    def run(label, options):
-        try:
-            t = slope(options)
-            print(f"{label:22} {t*1e3:7.3f} ms/step  {bs/t:9,.0f} img/s",
-                  flush=True)
-            results.append({"label": label, "options": options,
-                            "ms_per_step": t * 1e3, "img_s": bs / t})
-        except Exception as e:  # invalid flag for this compiler version, OOM…
-            print(f"{label:22} FAILED: {type(e).__name__}: {str(e)[:120]}",
-                  flush=True)
-            results.append({"label": label, "options": options,
-                            "error": f"{type(e).__name__}: {str(e)[:300]}"})
-
-    run("baseline", {})
-    for label, options in sweeps:
-        run(label, options)
-    run("baseline-recheck", {})
-
-    if args.out:
+    def persist():
+        # Rewrite after every entry: a tunnel flap mid-sweep must not lose
+        # the measurements already taken.
+        if not args.out:
+            return
         with open(args.out, "w") as f:
             json.dump(
                 {
@@ -213,6 +199,26 @@ def main():
                 },
                 f, indent=1,
             )
+
+    def run(label, options):
+        try:
+            t = slope(options)
+            print(f"{label:22} {t*1e3:7.3f} ms/step  {bs/t:9,.0f} img/s",
+                  flush=True)
+            results.append({"label": label, "options": options,
+                            "ms_per_step": t * 1e3, "img_s": bs / t})
+        except Exception as e:  # invalid flag for this compiler version, OOM…
+            print(f"{label:22} FAILED: {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            results.append({"label": label, "options": options,
+                            "error": f"{type(e).__name__}: {str(e)[:300]}"})
+        persist()
+
+    run("baseline", {})
+    for label, options in sweeps:
+        run(label, options)
+    run("baseline-recheck", {})
+    if args.out:
         print(f"wrote {args.out}")
 
 
