@@ -89,27 +89,32 @@ def main():
 
     results = {}
 
+    _probed: dict = {}
+
     def resolved_options(optimized):
         # The tuned flags are validated against THIS deployment's compiler
         # (tools/probe_compiler_options.py), but a toolchain swap could
         # invalidate a name and unknown names fail compiles loudly. The
         # bench must never lose the round's artifact to that: probe the
-        # options on a trivial jit first and fall back to None.
+        # options on a trivial jit first (once — each probe is a remote
+        # compile round-trip) and fall back to None.
         if not optimized:
             return None
+        if "opts" in _probed:
+            return _probed["opts"]
         opts = default_compiler_options()
-        if not opts:
-            return None
-        try:
-            jax.block_until_ready(
-                jax.jit(lambda a: a + 1, compiler_options=opts)(
-                    jnp.zeros((8, 128), jnp.float32)
+        if opts:
+            try:
+                jax.block_until_ready(
+                    jax.jit(lambda a: a + 1, compiler_options=opts)(
+                        jnp.zeros((8, 128), jnp.float32)
+                    )
                 )
-            )
-            return opts
-        except Exception:
-            results["xla_options_fallback"] = 1.0  # rejected -> benched bare
-            return None
+            except Exception:
+                results["xla_options_fallback"] = 1.0  # rejected -> bare
+                opts = None
+        _probed["opts"] = opts
+        return opts
 
     def bench_infer(model, variables, x, optimized=False):
         predict = make_predict_fn(model)

@@ -33,17 +33,24 @@ class NativeDecoderUnavailable(RuntimeError):
     pass
 
 
-def _arch_flag() -> str:
-    """Deterministic arch flag (multi-process hosts must all build the same
+def _arch_flag() -> list[str]:
+    """Deterministic arch flags (multi-process hosts must all build the same
     binary; -march=native also breaks when the .so outlives a heterogeneous
-    build host). x86-64-v3 iff the running CPU has AVX2, else baseline."""
+    build host). On x86: x86-64-v3 iff the running CPU has AVX2, else the
+    baseline. On other ISAs (aarch64 TPU hosts): no arch flag — the
+    compiler's default is both valid and deterministic there, where an x86
+    -march value would fail the build and silently degrade to PIL."""
+    import platform
+
+    if platform.machine() not in ("x86_64", "AMD64", "i686"):
+        return []
     try:
         with open("/proc/cpuinfo") as f:
             if " avx2" in f.read():
-                return "-march=x86-64-v3"
+                return ["-march=x86-64-v3"]
     except OSError:
         pass
-    return "-march=x86-64"
+    return ["-march=x86-64"]
 
 
 def _stale() -> bool:
@@ -71,7 +78,7 @@ def _build() -> None:
             os.close(fd)
             try:
                 cmd = [
-                    "g++", "-O3", _arch_flag(), "-shared", "-fPIC",
+                    "g++", "-O3", *_arch_flag(), "-shared", "-fPIC",
                     _SRC, "-o", tmp, "-ljpeg",
                 ]
                 proc = subprocess.run(cmd, capture_output=True, text=True)

@@ -71,6 +71,16 @@ class DataLoader:
         # ``transform`` per sample otherwise (mixed datasets work).
         self.bytes_transform = bytes_transform
 
+    @property
+    def fallback_count(self) -> int:
+        """Total native-decoder→PIL per-image fallbacks so far (exact;
+        incremented under a lock). The warn log only samples occurrences
+        1/100/10k-multiples, so consumers that need the real number — the
+        dress-rehearsal 'CMYK fired exactly once' check, ops dashboards —
+        must read this, not count log lines."""
+        with self._fallback_lock:
+            return self._fallback_count
+
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)
         per_shard = (

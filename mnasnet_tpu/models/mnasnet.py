@@ -109,7 +109,9 @@ class InvertedResidual(nn.Module):
             return False
         from mnasnet_tpu.ops.pallas.mbconv import mbconv_fits_vmem
 
-        mid = self.in_ch * self.expansion
+        # Same mid_pad rounding as setup(): the fit check must see the
+        # width of the tensors actually passed to mbconv_fused.
+        mid = -(-self.in_ch * self.expansion // self.mid_pad) * self.mid_pad
         return mbconv_fits_vmem(
             x.shape[1], x.shape[2], self.in_ch, mid, self.out_ch,
             self.kernel_size, self.stride,

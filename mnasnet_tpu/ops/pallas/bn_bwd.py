@@ -10,7 +10,10 @@ explicitly as Pallas kernels behind one ``custom_vjp``:
 
   forward   y = relu(x̂·γ + β),  x̂ = (x−μ)·rsqrt(σ²+ε), batch μ/σ² (XLA —
             it fuses into the producing conv exactly like the module path)
-  backward  g  = dy · [x̂·γ+β > 0]          (mask recomputed in-kernel)
+  backward  g  = dy · [y > 0]   (mask recomputed in-kernel with the SAME
+            compute-dtype expression x·inv + shift the forward clamps —
+            an fp32 x̂·γ+β recompute can disagree at sign boundaries under
+            bf16 and leak gradient through units the forward clamped)
             dβ = Σ g,   dγ = Σ g·x̂        (kernel 1: plane-streaming reduce)
             dx = γ·rsqrt(σ²+ε) · (g − dβ/n − x̂·dγ/n)   (kernel 2)
 
@@ -41,20 +44,31 @@ from jax.experimental.pallas import tpu as pltpu
 from mnasnet_tpu.ops.pallas.dw_conv import _interpret, _pick_c_block
 
 
+def _relu_mask(xd, mean, inv, gamma, beta):
+    """The forward's ReLU mask, bit-faithfully: _fwd_math clamps the
+    compute-dtype expression x·inv_c + shift_c (inv_c/shift_c cast to
+    x.dtype first, multiply-add in x.dtype), so the recompute must too."""
+    inv_total = gamma * inv
+    shift = beta - mean * inv_total
+    yd = xd * inv_total.astype(xd.dtype) + shift.astype(xd.dtype)
+    return (yd > 0).astype(jnp.float32)
+
+
 def _reduce_kernel(x_ref, dy_ref, mean_ref, inv_ref, gamma_ref, beta_ref,
                    dg_ref, db_ref):
     """Per-(c-block) accumulation of dβ=Σg, dγ=Σg·x̂ over the sequential
     (batch, row-chunk) grid axes; the first cell initializes the fp32
-    accumulators. The ReLU mask is recomputed in-kernel: y = x̂·γ + β > 0."""
+    accumulators. The ReLU mask is recomputed in-kernel (see _relu_mask)."""
     first = (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
-    x = x_ref[0].astype(jnp.float32)
+    xd = x_ref[0]
+    x = xd.astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
     mean = mean_ref[0].astype(jnp.float32)
     inv = inv_ref[0].astype(jnp.float32)  # rsqrt(var+eps), gamma-free
     gamma = gamma_ref[0].astype(jnp.float32)
     beta = beta_ref[0].astype(jnp.float32)
     xhat = (x - mean) * inv
-    g = dy * ((xhat * gamma + beta) > 0).astype(jnp.float32)
+    g = dy * _relu_mask(xd, mean, inv, gamma, beta)
     db = jnp.sum(g, axis=(0, 1))
     dg = jnp.sum(g * xhat, axis=(0, 1))
 
@@ -71,7 +85,8 @@ def _reduce_kernel(x_ref, dy_ref, mean_ref, inv_ref, gamma_ref, beta_ref,
 
 def _dx_kernel(x_ref, dy_ref, mean_ref, inv_ref, gamma_ref, beta_ref,
                dg_ref, db_ref, dx_ref, *, inv_n: float):
-    x = x_ref[0].astype(jnp.float32)
+    xd = x_ref[0]
+    x = xd.astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
     mean = mean_ref[0].astype(jnp.float32)
     inv = inv_ref[0].astype(jnp.float32)
@@ -80,7 +95,7 @@ def _dx_kernel(x_ref, dy_ref, mean_ref, inv_ref, gamma_ref, beta_ref,
     dg = dg_ref[0].astype(jnp.float32)
     db = db_ref[0].astype(jnp.float32)
     xhat = (x - mean) * inv
-    g = dy * ((xhat * gamma + beta) > 0).astype(jnp.float32)
+    g = dy * _relu_mask(xd, mean, inv, gamma, beta)
     dx = (gamma * inv) * (g - inv_n * db - xhat * (inv_n * dg))
     dx_ref[0] = dx.astype(dx_ref.dtype)
 

@@ -65,6 +65,14 @@ def _slice_major(
     slice_ids = [getattr(d, "slice_index", None) for d in devices]
     if all(s is None for s in slice_ids):
         return list(devices)
+    if any(s is None for s in slice_ids):
+        # Mixed exposure would otherwise surface as a TypeError from
+        # sorted() over None/int keys, masking the real problem.
+        raise ValueError(
+            "devices heterogeneous in slice_index exposure: "
+            f"{sorted({type(s).__name__ for s in slice_ids})} — cannot "
+            "build a slice-aligned dcn mesh from this device list"
+        )
     by_slice: dict = {}
     for d, s in zip(devices, slice_ids):
         by_slice.setdefault(s, []).append(d)

@@ -10,7 +10,13 @@ near-instant. The reference (torch eager) has no analogue — this is a
 TPU/XLA-native operational win.
 
 Resolution order: explicit ``--compilation-cache DIR`` flag → the
-``MNASNET_TPU_COMPILATION_CACHE`` env var → disabled. ``none``/``off``/``0``
+``MNASNET_TPU_COMPILATION_CACHE`` env var → disabled.
+
+CPU-backend caveat: reloading a cached XLA:CPU AOT executable logs
+"machine feature ... not supported" warnings for tuning pseudo-features
+(prefer-no-scatter/gather) even on the same host; execution is correct.
+Don't share a CPU cache dir across heterogeneous hosts, though — unlike
+TPU executables, CPU AOT results are ISA-specific. ``none``/``off``/``0``
 (any case) disable explicitly. The cache composes with the tuned compile
 options (utils/xla_options.py): options are part of the cache key, so a
 flag change never serves a stale executable.

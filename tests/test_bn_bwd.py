@@ -60,6 +60,32 @@ def test_bn_relu_region_grads_match_autodiff(stats, shape):
         )
 
 
+def test_bf16_relu_mask_matches_forward_exactly():
+    """Under bf16 the kernel must recompute the ReLU mask with the SAME
+    compute-dtype expression the forward clamps: an fp32 x̂·γ+β recompute
+    disagrees at sign boundaries (12/32768 elements on this fixture) and
+    leaks gradient through clamped units. With cot≡1 the region's dβ is the
+    fp32-exact per-channel count of unmasked elements, so compare it to the
+    count of positive FORWARD outputs — integer-exact; any mask flip shows.
+    (Autodiff of the reference is NOT a usable oracle here: it accumulates
+    the β-cotangent in bf16 through the shift cast and saturates at 256.)"""
+    rng = np.random.default_rng(0)
+    shape = (8, 8, 8, 64)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, shape[-1]), jnp.float32)
+    beta = jnp.asarray(rng.uniform(-0.5, 0.5, shape[-1]), jnp.float32)
+
+    def loss_region(b):
+        y, _, _ = bn_relu_train(x, gamma, b, 1e-5, "two_pass")
+        return jnp.sum(y.astype(jnp.float32))
+
+    db_region = jax.grad(loss_region)(beta)
+    y = bn_relu_train(x, gamma, beta, 1e-5, "two_pass")[0]
+    mask_count = jnp.sum((y > 0).astype(jnp.float32), axis=(0, 1, 2))
+    np.testing.assert_array_equal(np.asarray(db_region),
+                                  np.asarray(mask_count))
+
+
 def test_model_train_step_grads_match():
     """Whole-model equivalence: one train step with bn_bwd='pallas_region'
     produces the same new params as bn_bwd='xla' (fp32, tolerance for the

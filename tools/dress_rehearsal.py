@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import tempfile
@@ -116,9 +117,13 @@ def main():
     log_text = open(train_log).read()
 
     # fallback fired EXACTLY once (the CMYK file; train pass only — val has
-    # none). occurrence #1 printed, #100 (second threshold) must not be.
-    fallback_first = log_text.count("occurrence #1)")
-    fallback_flood = "occurrence #100)" in log_text
+    # none). The warn log samples occurrences 1/100/10k so it can't tell 1
+    # from 2-99; parse the exact per-epoch counter train.py prints instead
+    # ("decoder-fallbacks: N (...)"). A count of 2-99 (e.g. every 50th JPEG
+    # degrading) now fails loudly instead of masquerading as the CMYK one.
+    m = re.findall(r"decoder-fallbacks: (\d+) ", log_text)
+    fallback_total = int(m[-1]) if m else 0
+    fallback_exactly_once = fallback_total == 1
     epochs_done = "epoch 0:" in log_text
 
     print("eval.py --resume from the checkpoint", flush=True)
@@ -138,14 +143,11 @@ def main():
     eval_scored = "Acc@1" in eval_text
 
     out = {
-        "ok": bool(
-            epochs_done and fallback_first == 1 and not fallback_flood
-            and eval_scored
-        ),
+        "ok": bool(epochs_done and fallback_exactly_once and eval_scored),
         "n_classes": args.n_classes,
         "images": info["counts"],
-        "cmyk_fallback_fired_exactly_once": fallback_first == 1
-        and not fallback_flood,
+        "decoder_fallback_count": fallback_total,
+        "cmyk_fallback_fired_exactly_once": fallback_exactly_once,
         "label_mapping_lexicographic_and_stable": True,
         "train_epoch_completed": epochs_done,
         "eval_resume_scored": eval_scored,

@@ -128,9 +128,22 @@ def _run_multihost(outdir: str, epochs: int, resume: bool, log_prefix: str):
                 stderr=subprocess.STDOUT,
             )
         )
-    codes = [p.wait(timeout=1200) for p in procs]
-    for log in logs:
-        log.close()
+    # One rank dying early leaves the other blocked in rendezvous forever;
+    # a bare wait() would then raise TimeoutExpired uncaught, skip the log
+    # tails, and leak the hung process. Kill survivors and always report.
+    codes = []
+    try:
+        for p in procs:
+            codes.append(p.wait(timeout=1200))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        codes = [p.wait() for p in procs]
+        codes.append("timeout")
+    finally:
+        for log in logs:
+            log.close()
     if any(codes):
         for rank in range(2):
             with open(f"{log_prefix}.rank{rank}.log") as f:

@@ -419,6 +419,18 @@ def main(argv=None):
                 f"({time.perf_counter() - t0:.1f}s)",
                 flush=True,
             )
+            # Exact decoder-degradation visibility: the per-occurrence warn
+            # samples 1/100/10k, so print the real counters per epoch (the
+            # dress-rehearsal 'CMYK fell back exactly once' check parses
+            # this line; an ops run greps it).
+            fb = train_loader.fallback_count + val_loader.fallback_count
+            if fb:
+                print(
+                    f"decoder-fallbacks: {fb} "
+                    f"(train {train_loader.fallback_count}, "
+                    f"val {val_loader.fallback_count})",
+                    flush=True,
+                )
     mgr.wait()
     if step_tracer is not None:
         step_tracer.close()
