@@ -15,7 +15,7 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser(description="MNASNet TPU evaluation")
     p.add_argument("data", nargs="?", default=None)
-    p.add_argument("--arch", default="mnasnet1_0")
+    p.add_argument("-a", "--arch", default="mnasnet1_0")
     p.add_argument("--pretrained", required=False, default="")
     p.add_argument("--resume", default="", help="orbax checkpoint dir")
     p.add_argument("--best", action="store_true",
