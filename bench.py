@@ -91,19 +91,19 @@ def main():
 
     _probed: dict = {}
 
-    def resolved_options(optimized):
+    def resolved_options(optimized, mode):
         # The tuned flags are validated against THIS deployment's compiler
         # (tools/probe_compiler_options.py), but a toolchain swap could
         # invalidate a name and unknown names fail compiles loudly. The
-        # bench must never lose the round's artifact to that: probe the
-        # options on a trivial jit first (once — each probe is a remote
-        # compile round-trip) and fall back to None.
+        # bench must never lose the round's artifact to that: probe each
+        # mode's options on a trivial jit first (once per distinct set —
+        # each probe is a remote compile round-trip) and fall back to None.
         if not optimized:
             return None
-        if "opts" in _probed:
-            return _probed["opts"]
-        opts = default_compiler_options()
-        if opts:
+        if mode in _probed:
+            return _probed[mode]
+        opts = default_compiler_options(mode)
+        if opts and opts not in [v for v in _probed.values() if v]:
             try:
                 jax.block_until_ready(
                     jax.jit(lambda a: a + 1, compiler_options=opts)(
@@ -113,12 +113,12 @@ def main():
             except Exception:
                 results["xla_options_fallback"] = 1.0  # rejected -> bare
                 opts = None
-        _probed["opts"] = opts
+        _probed[mode] = opts
         return opts
 
     def bench_infer(model, variables, x, optimized=False):
         predict = make_predict_fn(model)
-        opts = resolved_options(optimized)
+        opts = resolved_options(optimized, "infer")
 
         def make_chain(iters):
             @functools.partial(jax.jit, compiler_options=opts)
@@ -142,7 +142,7 @@ def main():
             jax.random.PRNGKey(0),
         )
         step = make_train_step(model, tx, 0.1)
-        opts = resolved_options(optimized)
+        opts = resolved_options(optimized, "train")
 
         def make_chain(iters):
             @functools.partial(jax.jit, compiler_options=opts)

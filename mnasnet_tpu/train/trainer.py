@@ -84,19 +84,18 @@ class Trainer:
             )
         # Tuned XLA:TPU compile options (utils/xla_options.py) — the
         # short-transfer chunking fix measured +9-14% on the train step.
-        opts = default_compiler_options()
         self._train_step = jax.jit(
             step_fn,
             donate_argnums=(0,),
             in_shardings=(repl, *data_in),
             out_shardings=(repl, repl),
-            compiler_options=opts,
+            compiler_options=default_compiler_options("train"),
         )
         self._eval_step = jax.jit(
             make_eval_step(model),
             in_shardings=(repl, repl, *data_in),
             out_shardings=repl,
-            compiler_options=opts,
+            compiler_options=default_compiler_options("infer"),
         )
 
     # ------------------------------------------------------------------ init
@@ -202,7 +201,7 @@ def make_jit_eval_step(model, mesh=None):
         make_eval_step(model),
         in_shardings=(repl, repl, *data_in),
         out_shardings=repl,
-        compiler_options=default_compiler_options(),
+        compiler_options=default_compiler_options("infer"),
     )
 
 

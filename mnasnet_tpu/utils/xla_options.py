@@ -36,21 +36,29 @@ from __future__ import annotations
 import json
 import os
 
-# Winning set from SWEEP_XLAFLAGS_r03.json (see module docstring).
-TPU_STEP_OPTIONS: dict[str, str] = {
-    "xla_tpu_nd_short_transfer_max_chunks": "4096",
+# Winning set from SWEEP_XLAFLAGS_r03.json (see module docstring). Tuned
+# per step kind: the train step carries the tiny-copy spill storm the
+# chunking flag collects; the inference graph is swept separately
+# (SWEEP_XLAFLAGS_INFER_r03.json) since its copy profile differs.
+TPU_STEP_OPTIONS: dict[str, dict[str, str]] = {
+    "train": {"xla_tpu_nd_short_transfer_max_chunks": "4096"},
+    "infer": {"xla_tpu_nd_short_transfer_max_chunks": "4096"},
 }
 
 _ENV_KEY = "MNASNET_TPU_XLA_OPTIONS"
 
 
-def default_compiler_options() -> dict[str, str] | None:
-    """Compile options for the production train/eval steps on this backend.
+def default_compiler_options(mode: str = "train") -> dict[str, str] | None:
+    """Compile options for the production steps on this backend.
 
-    Resolution order: ``MNASNET_TPU_XLA_OPTIONS`` env (``none``/``off`` →
-    None, else a JSON dict used verbatim) → the tuned ``TPU_STEP_OPTIONS``
-    on TPU backends → None elsewhere.
+    ``mode`` is 'train' (train/grad steps) or 'infer' (eval/predict
+    graphs). Resolution order: ``MNASNET_TPU_XLA_OPTIONS`` env
+    (``none``/``off`` → None, else a JSON dict used verbatim for BOTH
+    modes) → the tuned per-mode ``TPU_STEP_OPTIONS`` on TPU backends →
+    None elsewhere.
     """
+    if mode not in TPU_STEP_OPTIONS:
+        raise ValueError(f"mode must be one of {sorted(TPU_STEP_OPTIONS)}")
     raw = os.environ.get(_ENV_KEY)
     if raw is not None:
         s = raw.strip()
@@ -60,5 +68,6 @@ def default_compiler_options() -> dict[str, str] | None:
     import jax
 
     if jax.default_backend() in ("tpu", "axon"):
-        return dict(TPU_STEP_OPTIONS)
+        opts = TPU_STEP_OPTIONS[mode]
+        return dict(opts) if opts else None
     return None

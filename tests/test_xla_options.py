@@ -15,34 +15,44 @@ from mnasnet_tpu.utils.xla_options import (
 )
 
 
-def test_cpu_backend_gets_none(monkeypatch):
+@pytest.mark.parametrize("mode", ["train", "infer"])
+def test_cpu_backend_gets_none(monkeypatch, mode):
     monkeypatch.delenv("MNASNET_TPU_XLA_OPTIONS", raising=False)
-    assert default_compiler_options() is None  # conftest pins cpu
+    assert default_compiler_options(mode) is None  # conftest pins cpu
+
+
+def test_unknown_mode_raises():
+    with pytest.raises(ValueError):
+        default_compiler_options("serving")
 
 
 @pytest.mark.parametrize("val", ["none", "off", "", "0", "NONE"])
 def test_env_disable(monkeypatch, val):
     monkeypatch.setenv("MNASNET_TPU_XLA_OPTIONS", val)
-    assert default_compiler_options() is None
+    assert default_compiler_options("train") is None
+    assert default_compiler_options("infer") is None
 
 
-def test_env_override_is_verbatim(monkeypatch):
+def test_env_override_is_verbatim_for_both_modes(monkeypatch):
     override = {"xla_tpu_nd_short_transfer_max_chunks": "8192"}
     monkeypatch.setenv("MNASNET_TPU_XLA_OPTIONS", json.dumps(override))
-    assert default_compiler_options() == override
+    assert default_compiler_options("train") == override
+    assert default_compiler_options("infer") == override
 
 
 def test_env_override_bad_json_raises(monkeypatch):
     monkeypatch.setenv("MNASNET_TPU_XLA_OPTIONS", "{not json")
     with pytest.raises(json.JSONDecodeError):
-        default_compiler_options()
+        default_compiler_options("train")
 
 
-def test_tuned_set_is_stringly_typed():
+def test_tuned_sets_are_stringly_typed():
     # PJRT env-options must be string-valued; a non-str value would fail
     # only at compile time on the TPU, so pin it here.
-    for k, v in TPU_STEP_OPTIONS.items():
-        assert isinstance(k, str) and isinstance(v, str)
+    assert set(TPU_STEP_OPTIONS) == {"train", "infer"}
+    for opts in TPU_STEP_OPTIONS.values():
+        for k, v in opts.items():
+            assert isinstance(k, str) and isinstance(v, str)
 
 
 def test_trainer_jits_on_cpu_with_default_options():
