@@ -14,6 +14,7 @@ from mnasnet_tpu.models.mnasnet import (
     mnasnet0_75,
     mnasnet1_0,
     mnasnet1_3,
+    mnasnet1_4,
     MODEL_REGISTRY,
 )
 from mnasnet_tpu.pretrained import load_pretrained
@@ -29,6 +30,7 @@ __all__ = [
     "mnasnet0_75",
     "mnasnet1_0",
     "mnasnet1_3",
+    "mnasnet1_4",
     "MODEL_REGISTRY",
     "load_pretrained",
     "__version__",

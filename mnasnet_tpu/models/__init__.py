@@ -9,6 +9,7 @@ from mnasnet_tpu.models.mnasnet import (  # noqa: F401
     mnasnet0_75,
     mnasnet1_0,
     mnasnet1_3,
+    mnasnet1_4,
     MODEL_REGISTRY,
     BASE_DEPTHS,
     STACKS,

@@ -330,6 +330,10 @@ mnasnet0_5 = _ctor(0.5)
 mnasnet0_75 = _ctor(0.75)
 mnasnet1_0 = _ctor(1.0)
 mnasnet1_3 = _ctor(1.3)
+# [B:configs[4]] spans the multiplier grid up to 1.4; the reference ctor set
+# stops at 1.3, so 1.4 is rebuild-only (param count pinned against the torch
+# oracle in tests/test_model.py, no published checkpoint exists for it).
+mnasnet1_4 = _ctor(1.4)
 
 MODEL_REGISTRY = {
     "mnasnet0_35": mnasnet0_35,
@@ -337,10 +341,26 @@ MODEL_REGISTRY = {
     "mnasnet0_75": mnasnet0_75,
     "mnasnet1_0": mnasnet1_0,
     "mnasnet1_3": mnasnet1_3,
+    "mnasnet1_4": mnasnet1_4,
 }
 
 
 def create_model(name: str, **kwargs) -> MNASNet:
-    if name not in MODEL_REGISTRY:
-        raise ValueError(f"unknown arch {name!r}; choices: {sorted(MODEL_REGISTRY)}")
-    return MODEL_REGISTRY[name](**kwargs)
+    """Build a model by arch name.
+
+    Registry names cover the reference ctor set plus 1.4; any other
+    ``mnasnet<int>_<frac>`` spelling (e.g. ``mnasnet0_9``) constructs the
+    corresponding depth multiplier directly, so the full [B:configs[4]]
+    NAS-style grid is reachable from the CLI without code edits.
+    """
+    if name in MODEL_REGISTRY:
+        return MODEL_REGISTRY[name](**kwargs)
+    if name.startswith("mnasnet"):
+        spec = name[len("mnasnet"):]
+        parts = spec.split("_")
+        if len(parts) == 2 and all(p.isdigit() for p in parts):
+            return MNASNet(alpha=float(f"{parts[0]}.{parts[1]}"), **kwargs)
+    raise ValueError(
+        f"unknown arch {name!r}; choices: {sorted(MODEL_REGISTRY)} "
+        "or any mnasnet<int>_<frac> multiplier spelling"
+    )

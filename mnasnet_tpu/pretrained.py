@@ -41,7 +41,8 @@ def load_state_dict_file(path: str) -> dict[str, Any]:
 def load_pretrained(arch: str, path: str, **model_kwargs):
     """(model, variables) for a reference checkpoint file.
 
-    ``arch`` is a registry name (``mnasnet0_35 .. mnasnet1_3``).
+    ``arch`` is a registry name (``mnasnet0_35 .. mnasnet1_4``; no published
+    checkpoint exists for 1.4 — it is grid-only).
     """
     if arch not in MODEL_REGISTRY:
         raise ValueError(f"unknown arch {arch!r}; choices: {sorted(MODEL_REGISTRY)}")

@@ -15,7 +15,7 @@ from tests.torch_ref import TorchMNASNet, randomize_bn_stats
 # All five multipliers: the 0.35/1.3 width-rounding paths (max(8,·) clamp and
 # the +divisor round-up bias) are exactly where converter shape bugs would hide
 # (VERDICT r1 weak #7).
-@pytest.mark.parametrize("alpha", [0.35, 0.5, 0.75, 1.0, 1.3])
+@pytest.mark.parametrize("alpha", [0.35, 0.5, 0.75, 1.0, 1.3, 1.4])
 def test_torch_to_flax_forward_parity(alpha):
     torch.manual_seed(0)
     tmodel = TorchMNASNet(alpha).eval()

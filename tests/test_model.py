@@ -13,7 +13,7 @@ def n_params(tree):
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
 
 
-@pytest.mark.parametrize("alpha", [0.35, 0.5, 0.75, 1.0, 1.3])
+@pytest.mark.parametrize("alpha", [0.35, 0.5, 0.75, 1.0, 1.3, 1.4])
 def test_param_counts_exact(alpha):
     model = MNASNet(alpha=alpha)
     variables = model.init(
@@ -28,6 +28,19 @@ def test_depths_alpha_grid():
     assert get_depths(0.5) == [16, 8, 16, 24, 40, 48, 96, 160]
     assert get_depths(0.75) == [24, 16, 24, 32, 64, 72, 144, 240]
     assert get_depths(1.3) == [40, 24, 32, 56, 104, 128, 248, 416]
+    assert get_depths(1.4) == [48, 24, 32, 56, 112, 136, 272, 448]
+
+
+def test_create_model_generic_alpha_names():
+    # [B:configs[4]]: the grid reaches 1.4 and arbitrary multiplier
+    # spellings construct directly (mnasnet0_9 → alpha 0.9).
+    assert create_model("mnasnet1_4").alpha == 1.4
+    m = create_model("mnasnet0_9", num_classes=10)
+    assert m.alpha == 0.9 and m.num_classes == 10
+    with pytest.raises(ValueError, match="unknown arch"):
+        create_model("mnasnet_bogus")
+    with pytest.raises(ValueError, match="unknown arch"):
+        create_model("resnet50")
 
 
 def test_forward_shapes_and_finite():

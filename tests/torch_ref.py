@@ -88,6 +88,12 @@ EXPECTED_PARAMS = {
     0.75: 3_170_208,
     1.0: 4_383_312,
     1.3: 6_282_256,
+    # 1.4 has no published count (reference/torchvision ctors stop at 1.3);
+    # pinned from this oracle module itself — the value guards the flax
+    # model's width/structure agreement with the torch module tree, which
+    # for 1.4 is the only available cross-check. Widths:
+    # [48, 24, 32, 56, 112, 136, 272, 448].
+    1.4: 7_115_728,
 }
 
 

@@ -79,6 +79,11 @@ SWEEPS = [
     ("order-dot-after-layout", {"xla_tpu_order_dot_after_layout": "true"}),
     ("prefetch-repeated", {"xla_tpu_use_repeated_instance_for_preferred_prefetch_time": "true"}),
     ("reduce-loop-dup", {"xla_tpu_reduce_loop_fusion_dup_with_unfusable_user": "true"}),
+    # Valid-probed flags never A/B'd in the first campaign.
+    ("async-copy-bw2", {"xla_tpu_async_copy_bandwidth_scaling_factor": "2.0"}),
+    ("async-copy-bw05", {"xla_tpu_async_copy_bandwidth_scaling_factor": "0.5"}),
+    ("no-dot-dot-fusion", {"xla_tpu_dot_dot_fusion": "false"}),
+    ("dot-dot-dup", {"xla_tpu_dot_dot_fusion_duplicated": "true"}),
 ]
 
 

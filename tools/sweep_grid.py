@@ -49,7 +49,7 @@ def count_macs(alpha: float, image_size: int) -> int:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--alphas", default="0.35,0.5,0.75,1.0,1.3")
+    p.add_argument("--alphas", default="0.35,0.5,0.75,1.0,1.3,1.4")
     p.add_argument("--sizes", default="96,160,224")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--train", action="store_true")

@@ -29,7 +29,8 @@ def parse_args(argv=None):
     p.add_argument("data", nargs="?", default=None,
                    help="path to dataset root (train/ and val/ subdirs)")
     p.add_argument("-a", "--arch", default="mnasnet1_0",
-                   help="model architecture (mnasnet0_35/0_5/0_75/1_0/1_3)")
+                   help="model architecture (mnasnet0_35/0_5/0_75/1_0/1_3/1_4, or any "
+                        "mnasnet<int>_<frac> multiplier spelling)")
     p.add_argument("--workers", type=int, default=4,
                    help="data loading worker threads")
     p.add_argument("--epochs", type=int, default=90)
