@@ -188,6 +188,8 @@ def main():
     MACS = {  # analytic MACs/image at this resolution (tools/sweep_grid.py)
         ("mnasnet1_0", 224): 314.4e6, ("mnasnet1_0", 160): 161.0e6,
         ("mnasnet0_5", 224): 104.5e6, ("mnasnet1_3", 224): 526.4e6,
+        ("mnasnet0_5", 160): 53.9e6, ("mnasnet0_35", 224): 58.9e6,
+        ("mnasnet0_75", 224): 215.5e6, ("mnasnet1_4", 224): 588.8e6,
     }.get((args.arch, img))
     physics = {}
     if MACS:
