@@ -55,6 +55,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     label_smoothing: float = 0.1,
     diagnostics: bool = False,
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
     """Returns train_step(state, images NHWC, labels) → (state, metrics).
 
@@ -62,8 +63,33 @@ def make_train_step(
     is reused. ``diagnostics=True`` adds grad/param norms and max-|logit| to
     the metrics (instability forensics — SURVEY.md §4.5; a few extra
     reductions per step, off in production).
+
+    ``grad_accum=k`` splits the batch into k sequential microbatches inside
+    the SAME compiled step (``lax.scan`` — only one microbatch's activations
+    are live at a time), takes one optimizer update on the combined
+    gradients, and advances ``state.step`` once. Semantics deliberately
+    mirror :func:`make_local_bn_train_step` with k replicas — per-microbatch
+    BN statistics (combined by mean into the EMA), count-weighted gradient /
+    loss combine, per-microbatch dropout folds — so sequential accumulation
+    ≡ parallel local-BN data-parallelism (tested in tests/test_train.py).
+    This is the single-chip route to [B:configs[3]]-scale effective batches:
+    memory scales with the microbatch while the LR-scaling rule sees the
+    full batch. Requires ``bn_ema='external'`` on the model (the module-EMA
+    path would apply the EMA once per microbatch) and a batch divisible by k.
     """
     ema_decay = _ema_outside(model)
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    if grad_accum > 1:
+        if ema_decay is None:
+            raise ValueError(
+                "grad_accum > 1 requires bn_ema='external' on the model: the "
+                "step combines per-microbatch BN statistics and applies the "
+                "running-stats EMA exactly once per optimizer update"
+            )
+        return _make_accum_train_step(
+            model, tx, label_smoothing, diagnostics, grad_accum, ema_decay
+        )
 
     def train_step(state: TrainState, images: jax.Array, labels: jax.Array):
         step_rng = jax.random.fold_in(state.rng, state.step)
@@ -92,6 +118,99 @@ def make_train_step(
             metrics["update_norm"] = optax.global_norm(updates)
             metrics["param_norm"] = optax.global_norm(new_params)
             metrics["max_abs_logit"] = jnp.max(jnp.abs(logits))
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def _make_accum_train_step(
+    model, tx, label_smoothing, diagnostics, grad_accum, ema_decay
+):
+    """Gradient-accumulation train step (see :func:`make_train_step`)."""
+
+    def train_step(state: TrainState, images: jax.Array, labels: jax.Array):
+        if images.shape[0] % grad_accum:
+            raise ValueError(
+                f"batch size {images.shape[0]} not divisible by "
+                f"grad_accum={grad_accum}"
+            )
+        micro = images.shape[0] // grad_accum
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        # Microbatch i = rows [i·micro, (i+1)·micro) — the same contiguous
+        # chunks the 'data' mesh axis would own, so the local-BN equivalence
+        # holds shard-for-shard.
+        imgs = images.reshape(grad_accum, micro, *images.shape[1:])
+        lbls = labels.reshape(grad_accum, micro)
+        # Count-weighted combine needs the global valid count up front
+        # (one cheap reduction over labels; exact with padded tails).
+        total = jnp.maximum(jnp.sum(lbls >= 0), 1).astype(jnp.float32)
+
+        def loss_fn(params, x, y, rng):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            count = jnp.sum(y >= 0)
+            loss = cross_entropy(logits, y, label_smoothing)
+            return loss, (logits, mutated["batch_stats"], count)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def body(carry, xs):
+            g_acc, s_acc, loss_acc, m_acc, maxl = carry
+            i, x, y = xs
+            rng = jax.random.fold_in(step_rng, i)
+            (loss, (logits, stats, count)), grads = grad_fn(
+                state.params, x, y, rng
+            )
+            w = count.astype(jnp.float32) / total
+            g_acc = jax.tree.map(
+                lambda a, g: a + g * w.astype(g.dtype), g_acc, grads
+            )
+            s_acc = jax.tree.map(
+                lambda a, s: a + s / grad_accum, s_acc, stats
+            )
+            loss_acc = loss_acc + loss * w
+            m_acc = jax.tree.map(
+                lambda a, v: a + v, m_acc, topk_correct(logits, y)
+            )
+            maxl = jnp.maximum(maxl, jnp.max(jnp.abs(logits)))
+            return (g_acc, s_acc, loss_acc, m_acc, maxl), None
+
+        zeros_like = lambda t: jax.tree.map(jnp.zeros_like, t)  # noqa: E731
+        m0 = {
+            "top1": jnp.zeros((), jnp.int32),
+            "top5": jnp.zeros((), jnp.int32),
+            "count": jnp.zeros((), jnp.int32),
+        }
+        carry0 = (
+            zeros_like(state.params),
+            zeros_like(state.batch_stats),
+            jnp.zeros((), jnp.float32),
+            m0,
+            jnp.zeros((), jnp.float32),
+        )
+        (grads, new_stats, loss, counts, maxl), _ = jax.lax.scan(
+            body, carry0, (jnp.arange(grad_accum), imgs, lbls)
+        )
+        new_stats = fused_ema_stats(state.batch_stats, new_stats, ema_decay)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **counts}
+        if diagnostics:
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["update_norm"] = optax.global_norm(updates)
+            metrics["param_norm"] = optax.global_norm(new_params)
+            metrics["max_abs_logit"] = maxl
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

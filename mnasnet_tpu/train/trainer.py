@@ -53,6 +53,7 @@ class Trainer:
         step_tracer=None,
         sync_bn: bool = True,
         diagnostics: bool = False,
+        grad_accum: int = 1,
     ):
         self.model = model
         self.tx = tx
@@ -72,10 +73,19 @@ class Trainer:
 
         repl = replicated(self.mesh)
         data_in = (batch_sharding(self.mesh), label_sharding(self.mesh))
+        if grad_accum > 1 and not sync_bn:
+            raise ValueError(
+                "--grad-accum with --no-sync-bn is redundant: the "
+                "accumulation step already uses per-microbatch (local) BN "
+                "statistics; use sync_bn=True with grad_accum"
+            )
         if sync_bn:
             # Global-batch math; GSPMD makes BN stats global (= sync-BN).
+            # With grad_accum=k the step scans k microbatches (each still
+            # globally normalized across the mesh) and updates once.
             step_fn = make_train_step(model, tx, label_smoothing,
-                                      diagnostics=diagnostics)
+                                      diagnostics=diagnostics,
+                                      grad_accum=grad_accum)
         else:
             # Per-device BN stats via shard_map — the reference's DDP
             # behavior (--no-sync-bn).

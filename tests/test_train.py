@@ -145,3 +145,101 @@ def test_restore_variables_without_optimizer_template(tmp_path):
                     jax.tree.leaves(state.batch_stats)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+# ---------------------------------------------------------------- grad accum
+def _accum_fixture():
+    model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla",
+                    precision="highest", bn_ema="external")
+    tx = create_optimizer("sgd", 0.1, weight_decay=1e-5)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(
+        rng.standard_normal((16, IMG, IMG, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 8, 16).astype(np.int32))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
+    return model, tx, images, labels, variables
+
+
+def test_grad_accum_equals_local_bn_dp():
+    """Sequential gradient accumulation (grad_accum=k, one device) must
+    reproduce parallel local-BN data-parallelism (k replicas) — same
+    per-microbatch BN statistics, count-weighted grad combine, and
+    per-microbatch dropout folds (steps.py contract)."""
+    from mnasnet_tpu.parallel.mesh import (
+        batch_sharding, label_sharding, replicated, replicate_state,
+    )
+    from mnasnet_tpu.train.state import TrainState
+    from mnasnet_tpu.train.steps import (
+        make_local_bn_train_step, make_train_step,
+    )
+
+    k = 4
+    model, tx, images, labels, variables = _accum_fixture()
+
+    def fresh_state():
+        return TrainState.create(
+            variables["params"], variables["batch_stats"], tx,
+            jax.random.PRNGKey(3),
+        )
+
+    accum_step = jax.jit(make_train_step(model, tx, 0.1, grad_accum=k))
+    s_a, m_a = accum_step(fresh_state(), images, labels)
+
+    mesh = make_mesh(jax.devices()[:k])
+    local_step = jax.jit(
+        make_local_bn_train_step(model, tx, 0.1, mesh=mesh),
+        in_shardings=(replicated(mesh), batch_sharding(mesh),
+                      label_sharding(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh)),
+    )
+    s_b, m_b = local_step(replicate_state(mesh, fresh_state()),
+                          images, labels)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    assert int(m_a["top1"]) == int(m_b["top1"])
+    assert int(m_a["count"]) == int(m_b["count"]) == 16
+
+    def flat(tree):
+        return np.concatenate(
+            [np.ravel(np.asarray(x)) for x in jax.tree.leaves(tree)])
+
+    p_a, p_b = flat(s_a.params), flat(s_b.params)
+    p_0 = flat(variables["params"])
+    rel = (np.linalg.norm(p_a - p_b)
+           / max(np.linalg.norm(p_a - p_0), 1e-12))
+    assert rel < 1e-3, f"update vectors diverge: {rel:.2e}"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        s_a.batch_stats, s_b.batch_stats,
+    )
+
+
+def test_grad_accum_validation():
+    from mnasnet_tpu.train.steps import make_train_step
+
+    model, tx, images, labels, variables = _accum_fixture()
+    # module-EMA model: accumulation would EMA once per microbatch
+    module_model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla")
+    with pytest.raises(ValueError, match="bn_ema"):
+        make_train_step(module_model, tx, 0.1, grad_accum=2)
+    with pytest.raises(ValueError, match="grad_accum"):
+        make_train_step(model, tx, 0.1, grad_accum=0)
+    # batch not divisible by k: trace-time error
+    from mnasnet_tpu.train.state import TrainState
+    state = TrainState.create(
+        variables["params"], variables["batch_stats"], tx,
+        jax.random.PRNGKey(3),
+    )
+    step = make_train_step(model, tx, 0.1, grad_accum=3)
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(step)(state, images, labels)
+
+
+def test_grad_accum_trainer_cli_guards():
+    model, tx, *_ = _accum_fixture()
+    with pytest.raises(ValueError, match="sync"):
+        Trainer(model, tx, mesh=make_mesh(jax.devices()[:1]),
+                sync_bn=False, grad_accum=2)

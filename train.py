@@ -88,6 +88,13 @@ def parse_args(argv=None):
                    help="rematerialize MBConv blocks (saves activation HBM "
                         "at ~11%% step-time cost on v5e; for memory-bound "
                         "configs)")
+    p.add_argument("--grad-accum", type=int, default=1, metavar="K",
+                   help="accumulate gradients over K sequential microbatches "
+                        "inside one compiled step (one optimizer update per "
+                        "--batch-size samples; activation memory scales with "
+                        "batch-size/K). Per-microbatch BN statistics, like "
+                        "DDP; requires --batch-size divisible by K and "
+                        "--fused-updates (external BN EMA)")
     p.add_argument("--fused-updates", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fused small-tensor update paths (default on): the "
@@ -322,11 +329,22 @@ def main(argv=None):
     if args.mesh_dcn > 1 and not args.sync_bn:
         raise SystemExit("--mesh-dcn requires --sync-bn (local-BN shards "
                          "only over 'data')")
+    if args.grad_accum > 1:
+        if not args.sync_bn:
+            raise SystemExit("--grad-accum already uses per-microbatch BN; "
+                             "drop --no-sync-bn")
+        if not args.fused_updates:
+            raise SystemExit("--grad-accum requires --fused-updates "
+                             "(external BN EMA: one EMA per optimizer update)")
+        if args.batch_size % args.grad_accum:
+            raise SystemExit(f"--batch-size {args.batch_size} not divisible "
+                             f"by --grad-accum {args.grad_accum}")
     mesh = make_mesh(dcn=args.mesh_dcn)
     trainer = Trainer(
         model, tx, mesh=mesh, label_smoothing=args.label_smoothing,
         compute_dtype=dtype, schedule=schedule, print_freq=args.print_freq,
         writer=writer, step_tracer=step_tracer, sync_bn=args.sync_bn,
+        grad_accum=args.grad_accum,
     )
     state = trainer.create_state(jax.random.PRNGKey(seed), args.image_size)
 
