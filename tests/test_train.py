@@ -243,3 +243,17 @@ def test_grad_accum_trainer_cli_guards():
     with pytest.raises(ValueError, match="sync"):
         Trainer(model, tx, mesh=make_mesh(jax.devices()[:1]),
                 sync_bn=False, grad_accum=2)
+
+
+def test_grad_accum_on_sharded_mesh():
+    """grad_accum composes with GSPMD data sharding: the in-step reshape
+    (B,) -> (k, B/k) forces a reshard, which XLA must insert; the step
+    must still run and produce finite, consistent metrics."""
+    model, tx, images, labels, variables = _accum_fixture()
+    trainer = Trainer(model, tx, mesh=make_mesh(jax.devices()[:2]),
+                      label_smoothing=0.1, grad_accum=2, print_freq=1000)
+    state = trainer.create_state(jax.random.PRNGKey(0), IMG)
+    state, metrics = trainer._train_step(state, images, labels)
+    assert int(metrics["count"]) == 16
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
