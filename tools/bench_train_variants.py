@@ -50,6 +50,11 @@ VARIANTS = {
     # Remat A/B on the production config (trade recompute for spill traffic —
     # the copy storm is mid-graph spills per BASELINE.md round 2).
     "best-remat": dict(_BEST, remat=True),
+    # Gradient accumulation overhead at fixed GLOBAL batch (bs stays the
+    # flag value; the step scans k microbatches of bs/k — expect some loss
+    # from smaller per-conv batches; the knob buys memory, not speed).
+    "best-accum2": dict(_BEST, grad_accum=2),
+    "best-accum4": dict(_BEST, grad_accum=4),
 }
 
 
@@ -111,6 +116,7 @@ def main():
         for name in args.variants.split(","):
             v = dict(VARIANTS[name])
             fused_opt = v.pop("fused_opt", False)
+            grad_accum = v.pop("grad_accum", 1)
             model = create_model(args.arch, dtype=jnp.bfloat16, **v)
             variables = model.init(
                 jax.random.PRNGKey(0),
@@ -122,7 +128,7 @@ def main():
                 variables["params"], variables["batch_stats"], tx,
                 jax.random.PRNGKey(0),
             )
-            step = make_train_step(model, tx, 0.1)
+            step = make_train_step(model, tx, 0.1, grad_accum=grad_accum)
 
             def make_chain(iters):
                 @functools.partial(jax.jit, compiler_options=compiler_options)
