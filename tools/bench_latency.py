@@ -36,6 +36,11 @@ def main():
     p.add_argument("--iters-lo", type=int, default=32)
     p.add_argument("--iters-hi", type=int, default=128)
     p.add_argument("--out", default=os.path.join(REPO, "LATENCY_r03.json"))
+    p.add_argument("--impls", default="auto,pallas",
+                   help="comma-separated dw_impl values to race")
+    p.add_argument("--xla-options", default=None,
+                   help="JSON dict of compiler_options to attach to every "
+                        "jit (A/B the tuned flags in the latency regime)")
     args = p.parse_args()
 
     import jax
@@ -47,6 +52,7 @@ def main():
 
     batches = [int(b) for b in args.batches.split(",")]
     img = args.image_size
+    xla_options = json.loads(args.xla_options) if args.xla_options else None
 
     def slope_time(make_chain, lo, hi):
         f_lo = make_chain(lo)
@@ -77,7 +83,6 @@ def main():
         )
 
         def make_chain(iters):
-            @jax.jit
             def f(x):
                 def body(_, carry):
                     x, acc = carry
@@ -88,14 +93,15 @@ def main():
                 return lax.fori_loop(
                     0, iters, body, (x, jnp.zeros((), jnp.float32))
                 )[1]
-            return lambda: f(x0)
+            jf = jax.jit(f, compiler_options=xla_options)
+            return lambda: jf(x0)
 
         return slope_time(make_chain, args.iters_lo, args.iters_hi)
 
     table = []
     for bs in batches:
         row = {"batch": bs}
-        for impl in ("auto", "pallas"):
+        for impl in args.impls.split(","):
             try:
                 t = bench(impl, bs)
             except Exception as e:  # record, keep sweeping
