@@ -257,3 +257,31 @@ def test_grad_accum_on_sharded_mesh():
     assert int(metrics["count"]) == 16
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_grad_accum_reduces_temp_memory():
+    """The memory claim behind --grad-accum, pinned compile-only: XLA's own
+    buffer assignment must allocate less temp space (live intermediates,
+    incl. saved activations) for the accumulated step at the same global
+    batch (tools/memory_probe.py is the production-shape instrument)."""
+    model, tx, _, _, variables = _accum_fixture()
+    from mnasnet_tpu.train.state import TrainState
+    from mnasnet_tpu.train.steps import make_train_step
+
+    state = TrainState.create(
+        variables["params"], variables["batch_stats"], tx,
+        jax.random.PRNGKey(0),
+    )
+    images = jax.ShapeDtypeStruct((16, IMG, IMG, 3), jnp.float32)
+    labels = jax.ShapeDtypeStruct((16,), jnp.int32)
+
+    def temp_bytes(k):
+        step = make_train_step(model, tx, 0.1, grad_accum=k)
+        compiled = (
+            jax.jit(step, donate_argnums=(0,))
+            .lower(state, images, labels).compile()
+        )
+        return compiled.memory_analysis().temp_size_in_bytes
+
+    t1, t4 = temp_bytes(1), temp_bytes(4)
+    assert t4 < 0.8 * t1, f"accum=4 temp {t4} not < 80% of accum=1 temp {t1}"
