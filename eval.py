@@ -18,6 +18,10 @@ def main(argv=None):
     p.add_argument("-a", "--arch", default="mnasnet1_0")
     p.add_argument("--pretrained", required=False, default="")
     p.add_argument("--resume", default="", help="orbax checkpoint dir")
+    p.add_argument("--use-ema", action="store_true",
+                   help="with --resume: score the --model-ema weight "
+                        "moving average stored in the checkpoint instead "
+                        "of the raw weights")
     p.add_argument("--best", action="store_true",
                    help="with --resume: load the best-acc1 checkpoint "
                         "(model_best) instead of the latest")
@@ -66,10 +70,13 @@ def main(argv=None):
         # any run whose optimizer differs.
         variables, _, _ = CheckpointManager(
             os.path.abspath(args.resume)
-        ).restore_variables(best=args.best)
+        ).restore_variables(best=args.best, use_ema=args.use_ema)
         variables = jax.tree.map(jnp.asarray, variables)
     else:
         raise SystemExit("need --pretrained or --resume")
+    if args.use_ema and not args.resume:
+        raise SystemExit("--use-ema requires --resume (the EMA shadow lives "
+                         "in the checkpoint's optimizer state)")
 
     if args.image:
         from PIL import Image

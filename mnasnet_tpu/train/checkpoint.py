@@ -115,7 +115,8 @@ class CheckpointManager:
         return state, start_epoch, best_acc1
 
     def restore_variables(
-        self, epoch: Optional[int] = None, best: bool = False
+        self, epoch: Optional[int] = None, best: bool = False,
+        use_ema: bool = False,
     ) -> tuple[dict, int, float]:
         """Template-free restore of just the model variables:
         ``({'params', 'batch_stats'}, epoch, best_acc1)``.
@@ -123,7 +124,10 @@ class CheckpointManager:
         The eval path must not need to reconstruct the training-time
         optimizer (or its fused/packed state layout) to read weights —
         orbax restores the raw saved pytree without an item template, and
-        the optimizer state is simply ignored."""
+        the optimizer state is simply ignored. ``use_ema=True`` instead
+        returns the weight-moving-average shadow params the ``--model-ema``
+        recipe stores in the optimizer state (train/optim.py
+        ``with_model_ema``) — the weights the TF recipe evaluates."""
         mgr = self._best_mgr if best else self._mgr
         if best and mgr is None:
             raise FileNotFoundError("no best-checkpoint tracking enabled")
@@ -133,8 +137,18 @@ class CheckpointManager:
             raise FileNotFoundError("no checkpoint to restore")
         restored = mgr.restore(epoch)
         state = restored["state"]
+        params = state["params"]
+        if use_ema:
+            from mnasnet_tpu.train.optim import get_ema_params
+
+            params = get_ema_params(state["opt_state"])
+            if params is None:
+                raise ValueError(
+                    "checkpoint has no model-EMA shadow params (was the run "
+                    "trained with --model-ema?)"
+                )
         variables = {
-            "params": state["params"],
+            "params": params,
             "batch_stats": state["batch_stats"],
         }
         return (

@@ -193,6 +193,93 @@ def fused_flat(make_inner, small_only: bool = False) -> optax.GradientTransforma
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class ModelEmaState(NamedTuple):
+    count: jnp.ndarray
+    ema_params: Any
+    inner: Any
+
+
+def with_model_ema(
+    tx: optax.GradientTransformation, decay: float = 0.9999,
+    warmup: bool = True,
+) -> optax.GradientTransformation:
+    """Maintain an exponential moving average of the **post-update model
+    parameters** inside the optimizer state (the TF MnasNet recipe's
+    ``moving_average_decay=0.9999`` — evaluation uses the averaged weights;
+    tensorflow/tpu's mnasnet trainer applies ``tf.train.
+    ExponentialMovingAverage(decay, num_updates=global_step)``).
+
+    TF semantics, exactly: shadow initialized to the initial parameter
+    values; per update ``shadow -= (1 − d)·(shadow − param)`` with
+    ``d = min(decay, (1+n)/(10+n))`` when ``warmup`` (the ``num_updates``
+    ramp — without it a 0.9999-decay average is useless for the first
+    ~10k steps).
+
+    The wrapper is OUTERMOST (see :func:`create_optimizer`), so
+    ``opt_state`` is a :class:`ModelEmaState` and the shadow tree rides the
+    normal checkpoint payload; :func:`get_ema_params` reads it back from a
+    live state or a template-free orbax restore. BN running statistics are
+    NOT double-averaged: they already carry their own 0.9997 EMA
+    (models/layers.py), and eval-with-EMA pairs the averaged params with
+    the regular ``batch_stats``.
+    """
+
+    def init_fn(params):
+        return ModelEmaState(
+            count=jnp.zeros([], jnp.int32),
+            # Fresh buffers, not aliases: the shadow and the live params
+            # both sit in the donated TrainState, and donating one buffer
+            # through two leaves is an XLA Execute() error.
+            ema_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
+            inner=tx.init(params),
+        )
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("with_model_ema requires params in update()")
+        new_updates, inner_state = tx.update(updates, state.inner, params)
+        new_params = optax.apply_updates(params, new_updates)
+        count = state.count + 1
+        d = jnp.asarray(decay, jnp.float32)
+        if warmup:
+            n = count.astype(jnp.float32)
+            d = jnp.minimum(d, (1.0 + n) / (10.0 + n))
+        ema = jax.tree.map(
+            lambda e, p: e - (1.0 - d).astype(e.dtype) * (e - p),
+            state.ema_params, new_params,
+        )
+        return new_updates, ModelEmaState(
+            count=count, ema_params=ema, inner=inner_state
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def get_ema_params(opt_state):
+    """The EMA shadow params from a live opt_state, or from the raw
+    (template-free orbax-restored, namedtuples-as-dicts) form; None when no
+    model EMA is active. Searches nested wrapper states so callers don't
+    depend on transformation order."""
+    seen = []
+
+    def walk(node):
+        if isinstance(node, ModelEmaState):
+            seen.append(node.ema_params)
+            return
+        if isinstance(node, dict):
+            if "ema_params" in node:
+                seen.append(node["ema_params"])
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(opt_state)
+    return seen[0] if seen else None
+
+
 def sgd(
     learning_rate: ScalarOrSchedule,
     momentum: float = 0.9,
@@ -272,10 +359,14 @@ def create_optimizer(
     rmsprop_decay: float = 0.9,
     rmsprop_eps: float = 1e-3,
     fused: bool | str = False,
+    model_ema: float | None = None,
+    model_ema_warmup: bool = True,
 ) -> optax.GradientTransformation:
     """``fused=True`` runs the (elementwise-identical) update math on packed
     flat vectors instead of ~160 leaves; ``fused='small'`` packs only the
-    1-D per-channel leaves — see :func:`fused_flat`."""
+    1-D per-channel leaves — see :func:`fused_flat`. ``model_ema=0.9999``
+    additionally maintains the TF-recipe weight moving average (outermost,
+    over the real unpacked tree — see :func:`with_model_ema`)."""
     if name == "sgd":
         make = lambda mask: sgd(
             learning_rate, momentum=momentum, weight_decay=weight_decay,
@@ -292,6 +383,13 @@ def create_optimizer(
         )
     else:
         raise ValueError(f"unknown optimizer {name!r} (choices: sgd, rmsprop)")
-    if fused:
-        return fused_flat(make, small_only=(fused == "small"))
-    return make(_wd_mask)
+    tx = (
+        fused_flat(make, small_only=(fused == "small"))
+        if fused
+        else make(_wd_mask)
+    )
+    if model_ema:
+        if not (0.0 < model_ema < 1.0):
+            raise ValueError(f"model_ema decay must be in (0, 1), got {model_ema}")
+        tx = with_model_ema(tx, model_ema, warmup=model_ema_warmup)
+    return tx

@@ -189,12 +189,16 @@ class Trainer:
                 self.writer.add_scalar("train/lr", float(self.schedule(step)), step)
 
     # ------------------------------------------------------------------ eval
-    def validate(self, state: TrainState, loader, *, verbose: bool = True):
+    def validate(self, state: TrainState, loader, *, verbose: bool = True,
+                 params_override=None):
         """Top-1/top-5 over the val set (running-stats BN) — the reference's
         ``validate()``, including its per-batch ``--print-freq`` progress
-        meters (SURVEY.md §3.2). Returns (top1%, top5%, loss)."""
+        meters (SURVEY.md §3.2). Returns (top1%, top5%, loss).
+        ``params_override`` scores alternative weights (e.g. the
+        ``--model-ema`` shadow) with the same eval step/batch stats."""
+        params = state.params if params_override is None else params_override
         return run_validation(
-            self._eval_step, state.params, state.batch_stats, loader,
+            self._eval_step, params, state.batch_stats, loader,
             mesh=self.mesh, compute_dtype=self.compute_dtype,
             print_freq=self.print_freq, verbose=verbose,
         )

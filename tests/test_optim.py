@@ -113,3 +113,81 @@ def test_create_optimizer_names():
     create_optimizer("rmsprop", 0.1)
     with pytest.raises(ValueError):
         create_optimizer("adamw", 0.1)
+
+
+# ------------------------------------------------------------- model EMA
+def test_model_ema_tf_semantics():
+    """with_model_ema must reproduce tf.train.ExponentialMovingAverage:
+    shadow init = initial values; per update shadow -= (1-d)(shadow-param)
+    with d = min(decay, (1+n)/(10+n)) under the num_updates warmup."""
+    from mnasnet_tpu.train.optim import get_ema_params, with_model_ema
+
+    import optax
+
+    decay = 0.9999
+    params = {"w": jnp.array([1.0, -2.0]), "b": jnp.array([0.5])}
+    tx = with_model_ema(optax.sgd(0.1), decay)
+    state = tx.init(params)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)),
+        get_ema_params(state), params))
+
+    shadow = jax.tree.map(jnp.array, params)
+    p = params
+    for n in range(1, 4):
+        grads = jax.tree.map(lambda x: 0.3 * jnp.ones_like(x), p)
+        updates, state = tx.update(grads, state, p)
+        p = optax.apply_updates(p, updates)
+        d = min(decay, (1.0 + n) / (10.0 + n))
+        shadow = jax.tree.map(
+            lambda e, q: e - (1.0 - d) * (e - q), shadow, p)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6),
+            get_ema_params(state), shadow)
+    # inner sgd still applied normally
+    np.testing.assert_allclose(
+        np.asarray(p["w"]), np.asarray(params["w"]) - 3 * 0.1 * 0.3,
+        rtol=1e-6)
+
+
+def test_model_ema_via_create_optimizer_fused():
+    """EMA wraps OUTSIDE the fused/packed optimizer: shadow tree has the
+    real param structure and get_ema_params finds it; checkpoint-raw
+    (namedtuples-as-dicts) form also resolves."""
+    from mnasnet_tpu.train.optim import get_ema_params
+
+    import optax
+
+    params = {
+        "conv": {"kernel": jnp.ones((3, 3, 4, 8))},
+        "bn": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+    }
+    tx = create_optimizer("rmsprop", 0.01, fused="small", model_ema=0.999)
+    state = tx.init(params)
+    ema = get_ema_params(state)
+    assert jax.tree.structure(ema) == jax.tree.structure(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, state2 = tx.update(grads, state, params)
+    ema2 = get_ema_params(state2)
+    assert jax.tree.structure(ema2) == jax.tree.structure(params)
+    assert not bool(jnp.all(ema2["conv"]["kernel"] == params["conv"]["kernel"]))
+
+    # raw (template-free restore) form: namedtuples become dicts
+    def rawify(node):
+        if hasattr(node, "_asdict"):
+            return {k: rawify(v) for k, v in node._asdict().items()}
+        if isinstance(node, dict):
+            return {k: rawify(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [rawify(v) for v in node]
+        return node
+
+    ema_raw = get_ema_params(rawify(state2))
+    np.testing.assert_allclose(
+        np.asarray(ema_raw["conv"]["kernel"]),
+        np.asarray(ema2["conv"]["kernel"]))
+
+    # no EMA configured -> None
+    tx2 = create_optimizer("sgd", 0.1)
+    assert get_ema_params(tx2.init(params)) is None

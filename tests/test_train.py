@@ -285,3 +285,56 @@ def test_grad_accum_reduces_temp_memory():
 
     t1, t4 = temp_bytes(1), temp_bytes(4)
     assert t4 < 0.8 * t1, f"accum=4 temp {t4} not < 80% of accum=1 temp {t1}"
+
+
+def test_checkpoint_restore_ema_variables(tmp_path):
+    """--model-ema end-to-end through orbax: the shadow params ride the
+    optimizer state, and restore_variables(use_ema=True) recovers them
+    template-free (eval.py --use-ema path)."""
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+    from mnasnet_tpu.train.optim import get_ema_params
+
+    model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla",
+                    bn_ema="external")
+    tx = create_optimizer("rmsprop", 0.05, fused="small", model_ema=0.9)
+    trainer = Trainer(model, tx, mesh=make_mesh(jax.devices()[:1]),
+                      print_freq=1000)
+    state = trainer.create_state(jax.random.PRNGKey(0), IMG)
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        images = jnp.asarray(
+            rng.standard_normal((8, IMG, IMG, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 8, 8).astype(np.int32))
+        state, _ = trainer._train_step(state, images, labels)
+
+    live_ema = get_ema_params(state.opt_state)
+    assert live_ema is not None
+    # after 2 warmed-up EMA updates the shadow must differ from raw params
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(live_ema)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(epoch=0, state=state, acc1=1.0, best_acc1=1.0, wait=True)
+    variables, _, _ = mgr.restore_variables(use_ema=True)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        variables["params"], live_ema,
+    )
+    raw, _, _ = mgr.restore_variables()
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(raw["params"])[0]),
+        np.asarray(jax.tree.leaves(variables["params"])[0]))
+    mgr.close()
+
+    # a run without --model-ema: use_ema must fail loudly
+    tx2 = create_optimizer("sgd", 0.05)
+    trainer2 = Trainer(model, tx2, mesh=make_mesh(jax.devices()[:1]),
+                       print_freq=1000)
+    state2 = trainer2.create_state(jax.random.PRNGKey(0), IMG)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt2"))
+    mgr2.save(epoch=0, state=state2, acc1=1.0, best_acc1=1.0, wait=True)
+    with pytest.raises(ValueError, match="model-EMA"):
+        mgr2.restore_variables(use_ema=True)
+    mgr2.close()

@@ -88,6 +88,11 @@ def parse_args(argv=None):
                    help="rematerialize MBConv blocks (saves activation HBM "
                         "at ~11%% step-time cost on v5e; for memory-bound "
                         "configs)")
+    p.add_argument("--model-ema", type=float, default=0.0, metavar="DECAY",
+                   help="maintain a weight moving average with this decay "
+                        "and evaluate/track-best on it (the TF MnasNet "
+                        "recipe's moving_average_decay=0.9999, with the "
+                        "num_updates warmup ramp); 0 disables")
     p.add_argument("--grad-accum", type=int, default=1, metavar="K",
                    help="accumulate gradients over K sequential microbatches "
                         "inside one compiled step (one optimizer update per "
@@ -309,6 +314,7 @@ def main(argv=None):
         args.optimizer, schedule,
         momentum=args.momentum, weight_decay=args.weight_decay,
         fused="small" if args.fused_updates else False,
+        model_ema=args.model_ema or None,
     )
 
     writer = None
@@ -428,12 +434,24 @@ def main(argv=None):
             step_callback=step_cb, step_callback_freq=args.save_freq_steps,
         )
         acc1, acc5, _ = trainer.validate(state, val_loader)
+        ema_note = ""
+        if args.model_ema:
+            # The TF recipe evaluates (and tracks best by) the weight
+            # moving average; the raw-weight score stays printed alongside.
+            from mnasnet_tpu.train.optim import get_ema_params
+
+            raw_acc1 = acc1
+            acc1, acc5, _ = trainer.validate(
+                state, val_loader, verbose=False,
+                params_override=get_ema_params(state.opt_state),
+            )
+            ema_note = f" (ema; raw={raw_acc1:.3f})"
         is_best = acc1 > best_acc1
         best_acc1 = max(acc1, best_acc1)
         mgr.save(epoch, state, acc1, best_acc1, is_best=is_best)
         if jax.process_index() == 0:
             print(
-                f"epoch {epoch}: acc1={acc1:.3f} acc5={acc5:.3f} "
+                f"epoch {epoch}: acc1={acc1:.3f}{ema_note} acc5={acc5:.3f} "
                 f"best={best_acc1:.3f}{' *' if is_best else ''} "
                 f"({time.perf_counter() - t0:.1f}s)",
                 flush=True,
