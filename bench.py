@@ -185,12 +185,11 @@ def main():
 
     # Physics-anchored fractions so rounds are comparable on absolute terms
     # (VERDICT r1 weak #6): model FLOPs from the verified MAC grid, v5e specs.
-    MACS = {  # analytic MACs/image at this resolution (tools/sweep_grid.py)
-        ("mnasnet1_0", 224): 314.4e6, ("mnasnet1_0", 160): 161.0e6,
-        ("mnasnet0_5", 224): 104.5e6, ("mnasnet1_3", 224): 526.4e6,
-        ("mnasnet0_5", 160): 53.9e6, ("mnasnet0_35", 224): 58.9e6,
-        ("mnasnet0_75", 224): 215.5e6, ("mnasnet1_4", 224): 588.8e6,
-    }.get((args.arch, img))
+    from mnasnet_tpu.models.mnasnet import count_macs
+
+    # Analytic MACs/image, any (α, size) — verified against the published
+    # grid (SURVEY.md §2.1: 314.4M @ α=1.0/224 vs the paper's ~315M).
+    MACS = count_macs(model.alpha, img)
     physics = {}
     if MACS:
         V5E_BF16_FLOPS = 197e12

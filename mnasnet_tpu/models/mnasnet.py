@@ -59,6 +59,32 @@ def get_depths(alpha: float) -> list[int]:
     return [round_to_multiple_of(d * alpha, 8) for d in BASE_DEPTHS]
 
 
+def count_macs(alpha: float, image_size: int, num_classes: int = 1000) -> int:
+    """Analytic per-image MAC count (verified against the published grid —
+    SURVEY.md §2.1 / Appendix A: 314.4M @ α=1.0/224 vs the paper's ~315M)."""
+    d = get_depths(alpha)
+    macs = 0
+    hw = image_size // 2  # stem stride 2
+    macs += 3 * 3 * 3 * d[0] * hw * hw          # stem conv
+    macs += 3 * 3 * d[0] * hw * hw              # sep dw
+    macs += d[0] * d[1] * hw * hw               # sep pw
+    in_ch = d[1]
+    for s, (k, stride, exp, repeats) in enumerate(STACKS):
+        out_ch = d[2 + s]
+        for j in range(repeats):
+            st = stride if j == 0 else 1
+            mid = in_ch * exp
+            macs += in_ch * mid * hw * hw       # expand (pre-stride plane)
+            hw_out = (hw + 2 * (k // 2) - k) // st + 1
+            macs += k * k * mid * hw_out * hw_out   # dw
+            macs += mid * out_ch * hw_out * hw_out  # project
+            hw = hw_out
+            in_ch = out_ch
+    macs += in_ch * 1280 * hw * hw              # head conv
+    macs += 1280 * num_classes                  # classifier
+    return macs
+
+
 class InvertedResidual(nn.Module):
     """MBConv block (the reference's ``_InvertedResidual``)."""
 

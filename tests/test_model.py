@@ -191,3 +191,15 @@ def test_stem_s2d_exact_equivalence():
                         mutable=["batch_stats"],
                         rngs={"dropout": jax.random.PRNGKey(1)})
     assert y_odd.shape == (2, 1000)
+
+
+def test_count_macs_published_grid():
+    """Analytic MAC counter against the verified grid (SURVEY.md §2.1)."""
+    from mnasnet_tpu.models.mnasnet import count_macs
+
+    assert round(count_macs(1.0, 224) / 1e6, 1) == 314.4
+    assert round(count_macs(0.5, 224) / 1e6, 1) == 104.5
+    assert round(count_macs(1.3, 224) / 1e6, 1) == 526.4
+    assert round(count_macs(0.5, 160) / 1e6, 1) == 53.9
+    assert round(count_macs(0.35, 96) / 1e6, 1) == 11.9
+    assert round(count_macs(1.4, 224) / 1e6, 1) == 588.8

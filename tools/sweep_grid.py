@@ -20,31 +20,11 @@ sys.path.insert(0, ".")
 
 
 def count_macs(alpha: float, image_size: int) -> int:
-    """Analytic MAC count (verified against the published grid —
-    SURVEY.md §2.1 / Appendix A)."""
-    from mnasnet_tpu.models.mnasnet import STACKS, get_depths
+    """Re-export: the analytic counter lives in the package proper
+    (models/mnasnet.py) so bench.py can compute physics for any (α, size)."""
+    from mnasnet_tpu.models.mnasnet import count_macs as _cm
 
-    d = get_depths(alpha)
-    macs = 0
-    hw = image_size // 2  # stem stride 2
-    macs += 3 * 3 * 3 * d[0] * hw * hw          # stem conv
-    macs += 3 * 3 * d[0] * hw * hw              # sep dw
-    macs += d[0] * d[1] * hw * hw               # sep pw
-    in_ch = d[1]
-    for s, (k, stride, exp, repeats) in enumerate(STACKS):
-        out_ch = d[2 + s]
-        for j in range(repeats):
-            st = stride if j == 0 else 1
-            mid = in_ch * exp
-            macs += in_ch * mid * hw * hw       # expand (pre-stride plane)
-            hw_out = (hw + 2 * (k // 2) - k) // st + 1
-            macs += k * k * mid * hw_out * hw_out   # dw
-            macs += mid * out_ch * hw_out * hw_out  # project
-            hw = hw_out
-            in_ch = out_ch
-    macs += in_ch * 1280 * hw * hw              # head conv
-    macs += 1280 * 1000                         # classifier
-    return macs
+    return _cm(alpha, image_size)
 
 
 def main():

@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--json", default="CONVERGENCE_r03.json")
     ap.add_argument("--target-top1", type=float, default=90.0)
+    ap.add_argument("--model-ema", type=float, default=0.0,
+                    help="weight moving average decay (0 = off); when on, "
+                         "val_top1 in the curve is the EMA-weights score "
+                         "and val_top1_raw carries the raw one")
+    ap.add_argument("--grad-accum", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -127,10 +132,12 @@ def main():
         args.lr_schedule, base_lr, steps_per_epoch, args.epochs,
         warmup_epochs=1,
     )
-    tx = create_optimizer(args.optimizer, schedule)
+    tx = create_optimizer(args.optimizer, schedule,
+                          model_ema=args.model_ema or None)
     trainer = Trainer(
         model, tx, label_smoothing=0.1, compute_dtype=dtype,
         schedule=schedule, print_freq=10, diagnostics=True,
+        grad_accum=args.grad_accum,
     )
     state = trainer.create_state(jax.random.PRNGKey(0), args.image_size)
 
@@ -141,8 +148,18 @@ def main():
         diag = {k: round(v, 4) for k, v in trainer.epoch_diag.items()}
         tstats = {k: round(v, 4) for k, v in trainer.epoch_train_stats.items()}
         acc1, acc5, vloss = trainer.validate(state, val_loader)
+        raw_note = {}
+        if args.model_ema:
+            from mnasnet_tpu.train.optim import get_ema_params
+
+            raw_note = {"val_top1_raw": round(acc1, 3)}
+            acc1, acc5, vloss = trainer.validate(
+                state, val_loader, verbose=False,
+                params_override=get_ema_params(state.opt_state),
+            )
         tr1, tr5, trloss = trainer.validate(state, train_loader, verbose=False)
         curve.append({
+            **raw_note,
             "epoch": epoch,
             # Training-mode curve (batch-stats BN): the honest optimization
             # trajectory — this is what must stay O(ln C) early.
