@@ -129,7 +129,13 @@ class DataLoader:
             arr = self.transform(img)
         return arr, label
 
-    def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    def epoch(
+        self, epoch: int = 0, start_step: int = 0
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Yield the epoch's batches, optionally starting at batch index
+        ``start_step`` (mid-epoch resume after preemption: the skipped
+        batches are the ones the interrupted run already consumed — same
+        (seed, epoch)-keyed order — and are never decoded)."""
         indices = shard_indices(
             len(self.dataset),
             epoch,
@@ -158,8 +164,17 @@ class DataLoader:
         def valid(bi: int) -> Optional[int]:
             return n_valid_tail if bi == last and n_valid_tail is not None else None
 
+        if not 0 <= start_step <= len(batches):
+            raise ValueError(
+                f"start_step {start_step} out of range for an epoch of "
+                f"{len(batches)} batches"
+            )
+        # Keep original batch indices so the padded-tail masking (valid())
+        # is unaffected by where iteration starts.
+        todo = list(enumerate(batches))[start_step:]
+
         if self.workers <= 0:
-            for bi, batch_idx in enumerate(batches):
+            for bi, batch_idx in todo:
                 pairs = [self._load_one(epoch, i) for i in batch_idx]
                 yield self._collate(pairs, valid(bi))
             return
@@ -167,7 +182,7 @@ class DataLoader:
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
             # Pipeline two batches ahead of the consumer.
             pending = []
-            it = iter(enumerate(batches))
+            it = iter(todo)
             for _ in range(2):
                 nb = next(it, None)
                 if nb is not None:

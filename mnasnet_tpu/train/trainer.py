@@ -13,12 +13,14 @@ Differences from the reference, all TPU-motivated:
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import multihost_utils
 
 from mnasnet_tpu.parallel.mesh import (
     batch_sharding,
@@ -70,6 +72,21 @@ class Trainer:
         # train_epoch — read by tools/train_smoke.py.
         self.epoch_diag: dict = {}
         self.epoch_train_stats: dict = {}
+        # Cooperative preemption (SURVEY.md §5.3): request_stop() — e.g.
+        # from a SIGTERM handler — makes train_epoch stop issuing steps at
+        # the next batch boundary; stopped_early/next_global_step tell the
+        # caller where to checkpoint and resume. Multi-host, the steps and
+        # the checkpoint save are collectives, so hosts must agree on the
+        # stop step or deadlock: JAX's preemption sync protocol
+        # (reached_preemption_sync_point, fed every step) picks the same
+        # safe step on every host — the local event is the single-process
+        # trigger only (train.py installs the SIGTERM handler only when
+        # process_count == 1; multi-host, TSL's preemption notifier owns
+        # SIGTERM and feeds the coordination service).
+        self._stop_event = threading.Event()
+        self._preempt_sync = jax.process_count() > 1
+        self.stopped_early = False
+        self.next_global_step: Optional[int] = None
 
         repl = replicated(self.mesh)
         data_in = (batch_sharding(self.mesh), label_sharding(self.mesh))
@@ -119,13 +136,39 @@ class Trainer:
         )
         return replicate_state(self.mesh, state)
 
+    def _reached_preempt_sync(self, gstep: int) -> bool:
+        try:
+            return multihost_utils.reached_preemption_sync_point(gstep)
+        except Exception:
+            # Runtime without a preemption sync manager (e.g. a minimal
+            # coordination-service setup): disable the poll rather than
+            # fail every step; single-process request_stop still works.
+            self._preempt_sync = False
+            return False
+
+    def request_stop(self) -> None:
+        """Ask the running (or next) train_epoch to stop at the next batch
+        boundary — the current step completes, no new step is issued. Safe
+        to call from a signal handler or another thread. The flag is sticky:
+        once preempted, every subsequent train_epoch returns immediately
+        without touching the recorded next_global_step (the caller is
+        expected to checkpoint and exit)."""
+        self._stop_event.set()
+
     # ----------------------------------------------------------------- train
     def train_epoch(self, state: TrainState, loader, epoch: int,
-                    step_callback=None, step_callback_freq: int = 0) -> TrainState:
+                    step_callback=None, step_callback_freq: int = 0,
+                    start_step: int = 0) -> TrainState:
         """One training epoch. ``step_callback(state, global_step)`` fires
         every ``step_callback_freq`` steps when set — used for step-level
         checkpoint cadence (finer-grained recovery than the reference's
-        epoch-only checkpoints, SURVEY.md §5.3)."""
+        epoch-only checkpoints, SURVEY.md §5.3). ``start_step`` resumes
+        mid-epoch: the loader skips (without decoding) the batches an
+        interrupted run already consumed, so interrupted-then-resumed
+        training is bitwise-identical to uninterrupted (tests/
+        test_preempt.py). On request_stop(), returns early with
+        ``stopped_early=True`` and ``next_global_step`` set to the first
+        step the resumed run must execute."""
         batch_time = AverageMeter("Time", ":6.3f")
         data_time = AverageMeter("Data", ":6.3f")
         losses = AverageMeter("Loss", ":.4e")
@@ -139,25 +182,51 @@ class Trainer:
 
         shardings = (batch_sharding(self.mesh), label_sharding(self.mesh))
         it = prefetch_to_device(
-            loader.epoch(epoch), sharding=shardings, dtype=self.compute_dtype
+            loader.epoch(epoch, start_step=start_step),
+            sharding=shardings, dtype=self.compute_dtype,
         )
+        spe = loader.steps_per_epoch()
         self.epoch_diag = {}
+        self.stopped_early = False
         pending = None  # (metrics, step_idx) fetched one step late (async)
         end = time.perf_counter()
-        i = -1
+        j = start_step - 1  # absolute batch index within the epoch
         for i, (images, labels) in enumerate(it):
+            j = start_step + i
+            if self._stop_event.is_set() or (
+                self._preempt_sync
+                and self._reached_preempt_sync(epoch * spe + j)
+            ):
+                # Preempted: the previous step was the last one issued
+                # (multi-host: ...on every host, by protocol). First stop
+                # wins: a later no-op train_epoch call on an already-stopped
+                # trainer must NOT recompute next_global_step — that would
+                # silently skip the batches the first stop left unconsumed.
+                self.stopped_early = True
+                if self.next_global_step is None:
+                    self.next_global_step = epoch * spe + j
+                break
             data_time.update(time.perf_counter() - end)
             if self.step_tracer is not None:
-                self.step_tracer.on_step(epoch * loader.steps_per_epoch() + i)
+                self.step_tracer.on_step(epoch * spe + j)
             state, metrics = self._train_step(state, images, labels)
             if pending is not None:
                 self._consume(pending[0], pending[1], losses, top1, top5, progress, epoch, loader)
-            pending = (metrics, i)
+            pending = (metrics, j)
             if (step_callback is not None and step_callback_freq > 0
-                    and (i + 1) % step_callback_freq == 0):
-                step_callback(state, epoch * loader.steps_per_epoch() + i)
+                    and (j + 1) % step_callback_freq == 0):
+                step_callback(state, epoch * spe + j)
             batch_time.update(time.perf_counter() - end)
             end = time.perf_counter()
+        else:
+            if self._stop_event.is_set():
+                # Preempted between epochs (or in validate): no step of THIS
+                # epoch ran past the flag; resume re-enters at the epoch
+                # boundary after the last completed batch (first stop wins,
+                # as above).
+                self.stopped_early = True
+                if self.next_global_step is None:
+                    self.next_global_step = epoch * spe + j + 1
         if pending is not None:
             self._consume(pending[0], pending[1], losses, top1, top5, progress, epoch, loader)
         self.epoch_train_stats = {

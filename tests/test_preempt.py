@@ -1,0 +1,205 @@
+"""Preemption-safe training (SURVEY.md §5.3 — recovery beyond the
+reference's epoch-only resume): SIGTERM → finish the in-flight step →
+collective checkpoint → clean exit; --resume continues at the exact step,
+bitwise-identical to an uninterrupted run (the loader skips the consumed
+batches without decoding them)."""
+
+import os
+import runpy
+import signal
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mnasnet_tpu import MNASNet
+from mnasnet_tpu.data.dataset import SyntheticDataset
+from mnasnet_tpu.data.pipeline import DataLoader
+from mnasnet_tpu.data.transforms import train_transform
+from mnasnet_tpu.parallel.mesh import make_mesh
+from mnasnet_tpu.train.optim import create_optimizer
+from mnasnet_tpu.train.trainer import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TRAIN = os.path.join(REPO, "train.py")
+IMG = 32
+
+
+def _loader(length=64, drop_last=True, workers=0):
+    ds = SyntheticDataset(length=length, image_size=IMG, num_classes=8, seed=0)
+    return DataLoader(
+        ds, 16, lambda img, rng: train_transform(img, IMG, rng),
+        shuffle=True, drop_last=drop_last, seed=0, workers=workers,
+    )
+
+
+# ------------------------------------------------------------------- loader
+def test_loader_start_step_skips_exactly():
+    """epoch(e, start_step=k) must yield precisely batches k.. of the same
+    (seed, epoch)-keyed order — including the padded-tail masking when the
+    skip lands inside the tail."""
+    for workers in (0, 2):
+        loader = _loader(workers=workers)
+        full = list(loader.epoch(3))
+        skipped = list(loader.epoch(3, start_step=2))
+        assert len(skipped) == len(full) - 2
+        for (ai, al), (bi, bl) in zip(full[2:], skipped):
+            np.testing.assert_array_equal(ai, bi)
+            np.testing.assert_array_equal(al, bl)
+
+    # padded tail: 40 samples / bs16, no drop_last -> 3 batches, tail has
+    # 8 valid + 8 label=-1 padding; skipping to the tail keeps the mask
+    tail_loader = _loader(length=40, drop_last=False)
+    full = list(tail_loader.epoch(1))
+    assert len(full) == 3 and (full[-1][1] == -1).sum() == 8
+    only_tail = list(tail_loader.epoch(1, start_step=2))
+    assert len(only_tail) == 1
+    np.testing.assert_array_equal(only_tail[0][0], full[-1][0])
+    np.testing.assert_array_equal(only_tail[0][1], full[-1][1])
+
+    # boundary values: start at the end -> empty; past the end -> error
+    assert list(tail_loader.epoch(1, start_step=3)) == []
+    with pytest.raises(ValueError, match="out of range"):
+        list(tail_loader.epoch(1, start_step=4))
+
+
+# ------------------------------------------------------------------ trainer
+def _fresh():
+    model = MNASNet(alpha=0.35, num_classes=8, dw_impl="xla")
+    tx = create_optimizer("sgd", 0.05, weight_decay=1e-5)
+    trainer = Trainer(model, tx, mesh=make_mesh(jax.devices()[:1]),
+                      label_smoothing=0.1, print_freq=1000)
+    return trainer, _loader()
+
+
+def test_request_stop_then_resume_bitwise():
+    """Interrupted-after-2-steps + resumed-with-start_step ≡ uninterrupted,
+    bitwise on every state leaf (params, batch_stats, opt_state, rng, step):
+    the stop happens at a batch boundary, the loader skip is exact, and the
+    per-step RNG folds key off state.step."""
+    trainer_a, loader_a = _fresh()
+    state_a = trainer_a.create_state(jax.random.PRNGKey(0), IMG)
+    for ep in range(2):
+        state_a = trainer_a.train_epoch(state_a, loader_a, ep)
+    assert not trainer_a.stopped_early
+
+    trainer_b, loader_b = _fresh()
+    state_b = trainer_b.create_state(jax.random.PRNGKey(0), IMG)
+    state_b = trainer_b.train_epoch(
+        state_b, loader_b, 0,
+        step_callback=lambda s, g: trainer_b.request_stop(),
+        step_callback_freq=2,
+    )
+    assert trainer_b.stopped_early
+    assert trainer_b.next_global_step == 2
+    assert int(state_b.step) == 2
+
+    # sticky flag: a further epoch refuses to run any step, and must NOT
+    # clobber next_global_step (first stop wins — recomputing it from the
+    # later epoch would silently skip the unconsumed batches on resume)
+    state_probe = trainer_b.train_epoch(state_b, loader_b, 1)
+    assert trainer_b.stopped_early and int(state_probe.step) == 2
+    assert trainer_b.next_global_step == 2
+
+    # resume in a FRESH trainer (new jit), continuing from the stopped state
+    trainer_c, loader_c = _fresh()
+    spe = loader_c.steps_per_epoch()
+    e0, s0 = divmod(trainer_b.next_global_step, spe)
+    state_c = trainer_c.train_epoch(state_b, loader_c, e0, start_step=s0)
+    state_c = trainer_c.train_epoch(state_c, loader_c, 1)
+
+    flat_a = jax.tree.leaves(
+        {"p": state_a.params, "b": state_a.batch_stats,
+         "o": state_a.opt_state, "r": state_a.rng, "s": state_a.step})
+    flat_c = jax.tree.leaves(
+        {"p": state_c.params, "b": state_c.batch_stats,
+         "o": state_c.opt_state, "r": state_c.rng, "s": state_c.step})
+    assert len(flat_a) == len(flat_c)
+    for a, c in zip(flat_a, flat_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+# ---------------------------------------------------------------------- CLI
+BASE = [
+    "--synthetic", "--arch", "mnasnet0_35", "--num-classes", "8",
+    "--image-size", "32", "--batch-size", "16", "--synthetic-size", "48",
+    "--workers", "0", "--print-freq", "100", "--dtype", "float32",
+    "--seed", "0",
+]
+
+
+def _run(argv):
+    old = sys.argv
+    sys.argv = ["train.py", *argv]
+    try:
+        runpy.run_path(TRAIN, run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capsys,
+                                                 monkeypatch):
+    """Through the real argv + SIGTERM-handler path: deliver SIGTERM after
+    step 2 of epoch 0 (via a step_callback that os.kill()s ourselves — the
+    handler train.py installs must run), assert the preemption checkpoint
+    is written and the process path exits cleanly; then --resume and check
+    the final epoch-1 weights are bitwise-identical to an uninterrupted
+    run's."""
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+
+    out_ref = str(tmp_path / "ref")
+    out_pre = str(tmp_path / "pre")
+
+    # uninterrupted oracle: 2 epochs
+    _run([*BASE, "--epochs", "2", "--output-dir", out_ref])
+    capsys.readouterr()
+
+    # interrupted: SIGTERM lands after 2 steps of epoch 0 (spe=3)
+    orig = Trainer.train_epoch
+
+    def fire_sigterm(state, gstep):
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    def wrapped(self, state, loader, epoch, step_callback=None,
+                step_callback_freq=0, start_step=0):
+        return orig(self, state, loader, epoch, step_callback=fire_sigterm,
+                    step_callback_freq=2, start_step=start_step)
+
+    monkeypatch.setattr(Trainer, "train_epoch", wrapped)
+    old_handler = signal.getsignal(signal.SIGTERM)
+    try:
+        _run([*BASE, "--epochs", "2", "--output-dir", out_pre])
+    finally:
+        monkeypatch.undo()
+        signal.signal(signal.SIGTERM, old_handler)
+    out = capsys.readouterr().out
+    assert "SIGTERM: finishing the in-flight step" in out
+    assert "preempted at global step 2" in out
+    assert os.path.isdir(os.path.join(out_pre, "preempt"))
+    assert "epoch 0:" not in out  # no epoch completed before preemption
+
+    # resume: must re-enter mid-epoch and finish both epochs
+    try:
+        _run([*BASE, "--epochs", "2", "--output-dir", out_pre,
+              "--resume", out_pre])
+    finally:
+        signal.signal(signal.SIGTERM, old_handler)
+    out = capsys.readouterr().out
+    assert "resumed from preemption checkpoint: epoch 0 step 2" in out
+    assert "epoch 0:" in out and "epoch 1:" in out
+
+    ref_mgr = CheckpointManager(out_ref)
+    pre_mgr = CheckpointManager(out_pre)
+    ref_vars, ref_epoch, _ = ref_mgr.restore_variables()
+    pre_vars, pre_epoch, _ = pre_mgr.restore_variables()
+    ref_mgr.close()
+    pre_mgr.close()
+    assert ref_epoch == pre_epoch == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        ref_vars, pre_vars,
+    )

@@ -98,6 +98,10 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--only", default=None,
                    help="comma-separated sweep labels to run")
+    p.add_argument("--extra-json", default=None,
+                   help="path to a JSON list of {label, options} entries "
+                        "appended to the built-in sweep (e.g. flags newly "
+                        "validated by probe_compiler_options --extended)")
     p.add_argument("--mode", choices=["train", "infer"], default="train",
                    help="which production step to sweep")
     args = p.parse_args()
@@ -179,10 +183,13 @@ def main():
             best = s if best is None else min(best, s)
         return best
 
-    sweeps = SWEEPS
+    sweeps = list(SWEEPS)
+    if args.extra_json:
+        with open(args.extra_json) as f:
+            sweeps += [(e["label"], e["options"]) for e in json.load(f)]
     if args.only:
         keep = set(args.only.split(","))
-        sweeps = [s for s in SWEEPS if s[0] in keep]
+        sweeps = [s for s in sweeps if s[0] in keep]
 
     results = []
 

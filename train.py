@@ -100,6 +100,14 @@ def parse_args(argv=None):
                         "batch-size/K). Per-microbatch BN statistics, like "
                         "DDP; requires --batch-size divisible by K and "
                         "--fused-updates (external BN EMA)")
+    p.add_argument("--on-preempt", choices=["save", "ignore"], default="save",
+                   help="SIGTERM behavior (TPU-pod maintenance/preemption "
+                        "events): 'save' finishes the in-flight step, writes "
+                        "a preemption checkpoint (collective — the platform "
+                        "signals every host) and exits cleanly; --resume "
+                        "then continues at the exact step, bitwise-identical "
+                        "to an uninterrupted run. 'ignore' keeps the default "
+                        "kill behavior")
     p.add_argument("--fused-updates", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="fused small-tensor update paths (default on): the "
@@ -390,12 +398,16 @@ def main(argv=None):
         print(f"=> loaded pretrained weights from {args.pretrained}")
 
     mgr = CheckpointManager(os.path.abspath(args.output_dir))
-    best_acc1, start_epoch = 0.0, args.start_epoch
+    best_acc1, start_epoch, start_step = 0.0, args.start_epoch, 0
     if args.resume:
         rmgr = (mgr if os.path.abspath(args.resume) == os.path.abspath(args.output_dir)
                 else CheckpointManager(os.path.abspath(args.resume)))
         try:
             state, start_epoch, best_acc1 = rmgr.restore(state)
+        except FileNotFoundError:
+            # No epoch checkpoint yet — legal when the run was preempted
+            # inside its very first epoch (only preempt/ exists).
+            pass
         except (ValueError, KeyError) as e:
             # The optimizer-state layout depends on --optimizer and
             # --fused-updates; a template built with different flags than
@@ -407,7 +419,26 @@ def main(argv=None):
                 f"--optimizer and --fused-updates/--no-fused-updates the "
                 f"checkpoint was written with. Original error: {e}"
             ) from e
-        print(f"=> resumed from epoch {start_epoch - 1} (best acc1 {best_acc1:.3f})")
+        else:
+            print(f"=> resumed from epoch {start_epoch - 1} "
+                  f"(best acc1 {best_acc1:.3f})")
+        # A preemption checkpoint (--on-preempt save) that is NEWER than the
+        # last completed epoch wins: resume mid-epoch at the exact step (the
+        # loader skips the consumed batches without decoding them).
+        pre_dir = os.path.join(os.path.abspath(args.resume), "preempt")
+        if os.path.isdir(pre_dir):
+            spe = train_loader.steps_per_epoch()
+            pmgr = CheckpointManager(pre_dir, max_to_keep=1, track_best=False)
+            try:
+                gstep = pmgr.latest_epoch()  # key = next global step to run
+                if gstep is not None and gstep > start_epoch * spe:
+                    state, _, best_acc1 = pmgr.restore(state, epoch=gstep)
+                    start_epoch, start_step = divmod(gstep, spe)
+                    print(f"=> resumed from preemption checkpoint: epoch "
+                          f"{start_epoch} step {start_step} "
+                          f"(global step {gstep})")
+            finally:
+                pmgr.close()
 
     if args.evaluate:
         trainer.validate(state, val_loader)
@@ -417,6 +448,21 @@ def main(argv=None):
     # process must call save() (orbax does the rank-0 write coordination
     # itself); gating save behind process_index()==0 would deadlock
     # multi-host runs at the first checkpoint. Only the print is rank-0.
+    if args.on_preempt == "save" and jax.process_count() == 1:
+        # Single-process: a Python SIGTERM handler requests the stop.
+        # Multi-host, installing one would REPLACE TSL's preemption
+        # notifier (one OS handler per signal); there the trainer instead
+        # polls reached_preemption_sync_point every step, so all hosts
+        # stop at the same agreed step (no collective deadlock).
+        import signal
+
+        def _on_sigterm(signum, frame):
+            trainer.request_stop()
+            print("=> SIGTERM: finishing the in-flight step, then saving a "
+                  "preemption checkpoint…", flush=True)
+
+        signal.signal(signal.SIGTERM, _on_sigterm)
+
     step_cb = None
     if args.save_freq_steps > 0:
         step_mgr = CheckpointManager(
@@ -432,7 +478,24 @@ def main(argv=None):
         state = trainer.train_epoch(
             state, train_loader, epoch,
             step_callback=step_cb, step_callback_freq=args.save_freq_steps,
+            start_step=start_step,
         )
+        start_step = 0
+        if trainer.stopped_early:
+            # NOTE: this save is collective too (every preempted process
+            # calls it); the checkpoint key is the next global step to run.
+            pdir = os.path.join(os.path.abspath(args.output_dir), "preempt")
+            pmgr = CheckpointManager(pdir, max_to_keep=1, track_best=False)
+            pmgr.save(trainer.next_global_step, state, acc1=0.0,
+                      best_acc1=best_acc1, wait=True)
+            pmgr.close()
+            mgr.wait()
+            if jax.process_index() == 0:
+                print(f"=> preempted at global step "
+                      f"{trainer.next_global_step}; checkpoint saved to "
+                      f"{pdir}. Continue with: --resume {args.output_dir}",
+                      flush=True)
+            return
         acc1, acc5, _ = trainer.validate(state, val_loader)
         ema_note = ""
         if args.model_ema:
