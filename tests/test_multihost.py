@@ -57,3 +57,35 @@ def test_multihost_two_process_one_step_equivalence():
         assert data["global_devices"] == 8
         assert data["multihost_rerun_bitwise_identical"]
         assert data["vs_single_process_multistep"]["params_match"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="2-process preemption integration (~15 min); set RUN_SLOW=1",
+)
+def test_multihost_preemption_sync_bitwise_resume():
+    """SIGTERM to ONE rank mid-training → both ranks stop at the
+    protocol-agreed step (reached_preemption_sync_point), join the
+    collective preempt save, exit 0; --resume finishes bitwise-identical
+    to an uninterrupted 2-process run. The committed
+    MULTIHOST_PREEMPT_r03.json is the recorded artifact from the same
+    tool."""
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "mhp.json")
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.join("tools", "multihost_preempt.py"),
+                "--out", out,
+                "--workdir", td,
+            ],
+            cwd=REPO,
+            timeout=3600,
+        )
+        assert r.returncode == 0
+        with open(out) as f:
+            data = json.load(f)
+        assert data["ok"]
+        assert data["interrupted_vs_uninterrupted"]["bitwise_match"]
+        assert data["resume_epoch"] * data["steps_per_epoch"] \
+            + data["resume_step"] == data["stop_step"]

@@ -104,11 +104,13 @@ _BOOTSTRAP = (
 )
 
 
-def _run_multihost(outdir: str, epochs: int, resume: bool, log_prefix: str):
-    """Launch the real train.py in 2 coordinated processes; wait for both."""
+def _launch_multihost(outdir: str, epochs: int, resume: bool,
+                      log_prefix: str):
+    """Start the real train.py in 2 coordinated processes; return the live
+    (procs, logs, lognames) so a caller can interpose — e.g. deliver a
+    SIGTERM mid-training (tools/multihost_preempt.py) — before waiting."""
     port = _free_port()
-    procs = []
-    logs = []
+    procs, logs, lognames = [], [], []
     for rank in range(2):
         cmd = [
             sys.executable, "-c", _BOOTSTRAP, "train.py", *_common_flags(),
@@ -120,21 +122,28 @@ def _run_multihost(outdir: str, epochs: int, resume: bool, log_prefix: str):
         ]
         if resume:
             cmd += ["--resume", outdir]
-        log = open(f"{log_prefix}.rank{rank}.log", "w")
+        logname = f"{log_prefix}.rank{rank}.log"
+        log = open(logname, "w")
         logs.append(log)
+        lognames.append(logname)
         procs.append(
             subprocess.Popen(
                 cmd, cwd=REPO, env=_env(4), stdout=log,
                 stderr=subprocess.STDOUT,
             )
         )
+    return procs, logs, lognames
+
+
+def _wait_multihost(procs, logs, lognames, timeout: int = 1200):
+    """Wait for both ranks; on any failure print log tails and raise."""
     # One rank dying early leaves the other blocked in rendezvous forever;
     # a bare wait() would then raise TimeoutExpired uncaught, skip the log
     # tails, and leak the hung process. Kill survivors and always report.
     codes = []
     try:
         for p in procs:
-            codes.append(p.wait(timeout=1200))
+            codes.append(p.wait(timeout=timeout))
     except subprocess.TimeoutExpired:
         for p in procs:
             if p.poll() is None:
@@ -145,11 +154,18 @@ def _run_multihost(outdir: str, epochs: int, resume: bool, log_prefix: str):
         for log in logs:
             log.close()
     if any(codes):
-        for rank in range(2):
-            with open(f"{log_prefix}.rank{rank}.log") as f:
+        for rank, logname in enumerate(lognames):
+            with open(logname) as f:
                 tail = f.read()[-3000:]
             print(f"--- rank {rank} log tail ---\n{tail}", file=sys.stderr)
         raise RuntimeError(f"multi-host train.py failed: exit codes {codes}")
+
+
+def _run_multihost(outdir: str, epochs: int, resume: bool, log_prefix: str):
+    """Launch the real train.py in 2 coordinated processes; wait for both."""
+    procs, logs, lognames = _launch_multihost(outdir, epochs, resume,
+                                              log_prefix)
+    _wait_multihost(procs, logs, lognames)
 
 
 # ---------------------------------------------------------------------------
