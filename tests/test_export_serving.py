@@ -1,0 +1,78 @@
+"""Serving export (tools/export_serving.py): the eval forward serializes to
+a StableHLO artifact (jax.export) that reloads and reproduces the live
+forward — the TPU-native analogue of the reference lineage's
+TorchScript/ONNX deployment path."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import export_serving  # noqa: E402
+
+IMG = 32
+
+
+def test_export_roundtrip_matches_live_forward(tmp_path):
+    fn, x = export_serving.build_forward(
+        "mnasnet0_35", 8, "float32", None, IMG, batch_size=4, dw_impl="xla"
+    )
+    data = export_serving.export_artifact(fn, x, platforms=["cpu"])
+    path = tmp_path / "m.shlo"
+    path.write_bytes(data)
+
+    exported = jax.export.deserialize(path.read_bytes())
+    assert "cpu" in [p.lower() for p in exported.platforms]
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((4, IMG, IMG, 3), dtype=np.float32)
+    got = np.asarray(exported.call(img))
+    want = np.asarray(fn(jnp.asarray(img)))
+    assert got.shape == (4, 8) and got.dtype == np.float32
+    np.testing.assert_array_equal(got, want)
+
+
+def test_export_bakes_weights_as_constants(tmp_path):
+    """Two different weight sets must produce artifacts that disagree —
+    i.e. the weights ride inside the artifact, not outside it."""
+    from mnasnet_tpu import create_model
+
+    model = create_model("mnasnet0_35", num_classes=8, dw_impl="xla")
+    v1 = model.init(jax.random.PRNGKey(1),
+                    jnp.zeros((1, IMG, IMG, 3)), train=False)
+    v2 = model.init(jax.random.PRNGKey(2),
+                    jnp.zeros((1, IMG, IMG, 3)), train=False)
+    outs = []
+    img = np.random.default_rng(0).standard_normal(
+        (2, IMG, IMG, 3), dtype=np.float32
+    )
+    for v in (v1, v2):
+        fn, x = export_serving.build_forward(
+            "mnasnet0_35", 8, "float32", v, IMG, batch_size=2,
+            dw_impl="xla",
+        )
+        exported = jax.export.deserialize(
+            export_serving.export_artifact(fn, x, platforms=["cpu"])
+        )
+        outs.append(np.asarray(exported.call(img)))
+    assert not np.array_equal(outs[0], outs[1])
+
+
+def test_export_rejects_wrong_shape(tmp_path):
+    fn, x = export_serving.build_forward(
+        "mnasnet0_35", 8, "float32", None, IMG, batch_size=4, dw_impl="xla"
+    )
+    exported = jax.export.deserialize(
+        export_serving.export_artifact(fn, x, platforms=["cpu"])
+    )
+    bad = np.zeros((3, IMG, IMG, 3), np.float32)  # batch 3 != exported 4
+    with pytest.raises(ValueError):
+        exported.call(bad)

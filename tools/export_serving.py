@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Serving export: model + weights → a portable StableHLO artifact.
+
+The reference lineage's deployment path serialized the traced graph
+(TorchScript / ONNX export of the trained module). The TPU-native analogue
+is ``jax.export``: the eval-mode forward is traced once, lowered to
+StableHLO with the trained weights baked in as constants, and serialized to
+a single file that reloads and executes WITHOUT any of this package's
+Python model code — exactly what a serving fleet wants to ship. The
+artifact is multi-platform: lowered for both TPU and CPU by default, so the
+same file serves on-chip and in CPU canaries.
+
+Weight sources mirror eval.py: ``--resume`` (orbax checkpoint, optionally
+``--use-ema`` / ``--best``), ``--pretrained`` (a torch state_dict converted
+on the fly), or random init (``--random-init``, smoke/benchmarking only).
+
+Usage:
+  python tools/export_serving.py --arch mnasnet1_0 --resume RUN_DIR \
+      --image-size 224 --batch-size 8 --dtype bfloat16 --out model.shlo
+  python tools/export_serving.py --verify model.shlo --arch mnasnet1_0 \
+      --resume RUN_DIR            # reload, run, compare vs live forward
+
+The serialized call contract is ``f(images) -> logits`` with images
+``float32 [batch, size, size, 3]`` already normalized (the torchvision
+mean/std transform runs host-side in the data pipeline, same as training —
+SURVEY.md §2.4). Tested in tests/test_export_serving.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_forward(arch: str, num_classes: int, dtype_name: str,
+                  weights: dict | None, image_size: int, batch_size: int,
+                  dw_impl: str = "auto"):
+    """(jitted eval-forward closure with weights baked in, example input)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mnasnet_tpu import create_model
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = create_model(arch, num_classes=num_classes, dtype=dtype,
+                         dw_impl=dw_impl)
+    if weights is None:
+        weights = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, image_size, image_size, 3)), train=False,
+        )
+    weights = jax.tree.map(jnp.asarray, weights)
+
+    def forward(images):
+        # fp32 in → logits fp32 out regardless of the compute dtype, so the
+        # serving contract is dtype-stable across exported variants.
+        logits = model.apply(weights, images, train=False)
+        return logits.astype(jnp.float32)
+
+    x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
+    return jax.jit(forward), x
+
+
+def load_weights(args) -> dict | None:
+    import jax
+    import jax.numpy as jnp
+
+    if args.random_init:
+        return None
+    if args.pretrained:
+        import torch
+
+        from mnasnet_tpu import create_model
+        from mnasnet_tpu.convert.torch_converter import torch_to_flax
+
+        alpha = create_model(args.arch).alpha
+        ckpt = torch.load(args.pretrained, map_location="cpu",
+                          weights_only=True)
+        sd = ckpt.get("state_dict", ckpt)
+        return jax.tree.map(jnp.asarray, torch_to_flax(sd, alpha))
+    if args.resume:
+        from mnasnet_tpu.train.checkpoint import CheckpointManager
+
+        variables, _, _ = CheckpointManager(
+            os.path.abspath(args.resume)
+        ).restore_variables(best=args.best, use_ema=args.use_ema)
+        return jax.tree.map(jnp.asarray, variables)
+    raise SystemExit("need --resume, --pretrained, or --random-init")
+
+
+def export_artifact(fn, x, platforms) -> bytes:
+    import jax
+
+    exported = jax.export.export(fn, platforms=platforms)(x)
+    return exported.serialize()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("-a", "--arch", default="mnasnet1_0")
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--resume", default="", help="orbax checkpoint dir")
+    p.add_argument("--pretrained", default="", help="torch state_dict file")
+    p.add_argument("--random-init", action="store_true",
+                   help="export with fresh init weights (smoke/bench only)")
+    p.add_argument("--use-ema", action="store_true",
+                   help="export the --model-ema averaged weights")
+    p.add_argument("--best", action="store_true",
+                   help="export the best-acc1 checkpoint, not the latest")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("-b", "--batch-size", type=int, default=8)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--fused-kernels", choices=["auto", "pallas", "xla"],
+                   default="auto")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets (default tpu,cpu "
+                        "— one artifact serves both)")
+    p.add_argument("--out", default="model.shlo")
+    p.add_argument("--verify", default="", metavar="ARTIFACT",
+                   help="instead of exporting: deserialize ARTIFACT, run "
+                        "it, and compare against the live forward")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    import jax
+
+    weights = load_weights(args)
+    fn, x = build_forward(
+        args.arch, args.num_classes, args.dtype, weights,
+        args.image_size, args.batch_size, dw_impl=args.fused_kernels,
+    )
+
+    if args.verify:
+        with open(args.verify, "rb") as f:
+            exported = jax.export.deserialize(f.read())
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal(x.shape, dtype=np.float32)
+        got = np.asarray(exported.call(img))
+        want = np.asarray(fn(img))
+        diff = float(np.abs(got - want).max())
+        print(f"platforms={exported.platforms} "
+              f"in={exported.in_avals} out={exported.out_avals}")
+        print(f"max |artifact - live| = {diff:.3e}")
+        if diff > 1e-5:
+            raise SystemExit(f"verify FAILED: diff {diff}")
+        print("verify OK")
+        return 0
+
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+    data = export_artifact(fn, x, platforms)
+    with open(args.out, "wb") as f:
+        f.write(data)
+    print(f"wrote {args.out}: {len(data) / 1e6:.2f} MB, "
+          f"platforms={platforms}, "
+          f"call: f(float32[{args.batch_size},{args.image_size},"
+          f"{args.image_size},3]) -> float32 logits")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
