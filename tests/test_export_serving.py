@@ -66,6 +66,24 @@ def test_export_bakes_weights_as_constants(tmp_path):
     assert not np.array_equal(outs[0], outs[1])
 
 
+def test_symbolic_batch_serves_any_batch_size():
+    fn, x = export_serving.build_forward(
+        "mnasnet0_35", 8, "float32", None, IMG, batch_size=4, dw_impl="xla"
+    )
+    exported = jax.export.deserialize(
+        export_serving.export_artifact(
+            fn, x, platforms=["cpu"], symbolic_batch=True
+        )
+    )
+    rng = np.random.default_rng(0)
+    for b in (1, 3, 16):
+        img = rng.standard_normal((b, IMG, IMG, 3), dtype=np.float32)
+        got = np.asarray(exported.call(img))
+        want = np.asarray(fn(jnp.asarray(img)))
+        assert got.shape == (b, 8)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_export_rejects_wrong_shape(tmp_path):
     fn, x = export_serving.build_forward(
         "mnasnet0_35", 8, "float32", None, IMG, batch_size=4, dw_impl="xla"

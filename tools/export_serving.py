@@ -92,9 +92,16 @@ def load_weights(args) -> dict | None:
     raise SystemExit("need --resume, --pretrained, or --random-init")
 
 
-def export_artifact(fn, x, platforms) -> bytes:
+def export_artifact(fn, x, platforms, symbolic_batch: bool = False) -> bytes:
+    """``symbolic_batch=True`` exports with the leading dim symbolic, so ONE
+    artifact serves ANY batch size (verified exact for b ∈ {1,3,16} in
+    tests/test_export_serving.py) — XLA recompiles per concrete b at load
+    time, which is the normal serving trade-off."""
     import jax
 
+    if symbolic_batch:
+        _, h, w, c = x.shape
+        (x,) = jax.export.symbolic_args_specs((x,), f"b, {h}, {w}, {c}")
     exported = jax.export.export(fn, platforms=platforms)(x)
     return exported.serialize()
 
@@ -117,6 +124,10 @@ def main(argv=None):
                    default="bfloat16")
     p.add_argument("--fused-kernels", choices=["auto", "pallas", "xla"],
                    default="auto")
+    p.add_argument("--symbolic-batch", action="store_true",
+                   help="export with a symbolic leading dim: one artifact "
+                        "serves any batch size (-b then only sizes the "
+                        "--verify replay)")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering targets (default tpu,cpu "
                         "— one artifact serves both)")
@@ -153,12 +164,14 @@ def main(argv=None):
         return 0
 
     platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
-    data = export_artifact(fn, x, platforms)
+    data = export_artifact(fn, x, platforms,
+                           symbolic_batch=args.symbolic_batch)
     with open(args.out, "wb") as f:
         f.write(data)
+    b = "b" if args.symbolic_batch else str(args.batch_size)
     print(f"wrote {args.out}: {len(data) / 1e6:.2f} MB, "
           f"platforms={platforms}, "
-          f"call: f(float32[{args.batch_size},{args.image_size},"
+          f"call: f(float32[{b},{args.image_size},"
           f"{args.image_size},3]) -> float32 logits")
     return 0
 
