@@ -140,15 +140,24 @@ def _run(argv):
         sys.argv = old
 
 
+@pytest.mark.parametrize(
+    "extra",
+    [[], ["--grad-accum", "2"], ["--model-ema", "0.999"]],
+    ids=["plain", "accum2", "ema"],
+)
 def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capsys,
-                                                 monkeypatch):
+                                                 monkeypatch, extra):
     """Through the real argv + SIGTERM-handler path: deliver SIGTERM after
     step 2 of epoch 0 (via a step_callback that os.kill()s ourselves — the
     handler train.py installs must run), assert the preemption checkpoint
     is written and the process path exits cleanly; then --resume and check
     the final epoch-1 weights are bitwise-identical to an uninterrupted
-    run's."""
+    run's. Parametrized over the stateful-optimizer compositions: the
+    scanned grad-accum microbatch counter and the model-EMA shadow both
+    live in opt_state and must ride the preempt checkpoint exactly."""
     from mnasnet_tpu.train.checkpoint import CheckpointManager
+
+    BASE = [*globals()["BASE"], *extra]
 
     out_ref = str(tmp_path / "ref")
     out_pre = str(tmp_path / "pre")
