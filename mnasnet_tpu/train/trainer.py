@@ -56,6 +56,7 @@ class Trainer:
         sync_bn: bool = True,
         diagnostics: bool = False,
         grad_accum: int = 1,
+        preempt_sync: bool = True,
     ):
         self.model = model
         self.tx = tx
@@ -83,8 +84,11 @@ class Trainer:
         # trigger only (train.py installs the SIGTERM handler only when
         # process_count == 1; multi-host, TSL's preemption notifier owns
         # SIGTERM and feeds the coordination service).
+        # preempt_sync=False (train.py --on-preempt ignore) opts multi-host
+        # out of the per-step protocol poll, so "ignore" really is the
+        # platform-default kill behavior there too — not just single-host.
         self._stop_event = threading.Event()
-        self._preempt_sync = jax.process_count() > 1
+        self._preempt_sync = bool(preempt_sync) and jax.process_count() > 1
         self.stopped_early = False
         self.next_global_step: Optional[int] = None
 
@@ -139,11 +143,23 @@ class Trainer:
     def _reached_preempt_sync(self, gstep: int) -> bool:
         try:
             return multihost_utils.reached_preemption_sync_point(gstep)
-        except Exception:
+        except Exception as e:
             # Runtime without a preemption sync manager (e.g. a minimal
             # coordination-service setup): disable the poll rather than
             # fail every step; single-process request_stop still works.
+            # LOUDLY — a silent downgrade would mean a later real
+            # preemption notice is never seen and the job trains until the
+            # platform hard-kills it past the grace deadline.
             self._preempt_sync = False
+            import sys
+
+            print(
+                f"WARNING: preemption sync poll failed ({e!r}); cooperative "
+                "preemption is DISABLED for the rest of this run — a "
+                "platform preemption will now kill the job without a "
+                "preempt checkpoint",
+                file=sys.stderr, flush=True,
+            )
             return False
 
     def request_stop(self) -> None:

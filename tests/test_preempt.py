@@ -4,6 +4,7 @@ collective checkpoint → clean exit; --resume continues at the exact step,
 bitwise-identical to an uninterrupted run (the loader skips the consumed
 batches without decoding them)."""
 
+import json
 import os
 import runpy
 import signal
@@ -145,7 +146,7 @@ def _run(argv):
     [[], ["--grad-accum", "2"], ["--model-ema", "0.999"]],
     ids=["plain", "accum2", "ema"],
 )
-def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capsys,
+def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capfd,
                                                  monkeypatch, extra):
     """Through the real argv + SIGTERM-handler path: deliver SIGTERM after
     step 2 of epoch 0 (via a step_callback that os.kill()s ourselves — the
@@ -164,7 +165,7 @@ def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capsys,
 
     # uninterrupted oracle: 2 epochs
     _run([*BASE, "--epochs", "2", "--output-dir", out_ref])
-    capsys.readouterr()
+    capfd.readouterr()
 
     # interrupted: SIGTERM lands after 2 steps of epoch 0 (spe=3)
     orig = Trainer.train_epoch
@@ -184,10 +185,15 @@ def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capsys,
     finally:
         monkeypatch.undo()
         signal.signal(signal.SIGTERM, old_handler)
-    out = capsys.readouterr().out
-    assert "SIGTERM: finishing the in-flight step" in out
+    cap = capfd.readouterr()
+    # the handler writes via os.write(2, ...) — signal-safe, fd-level
+    assert "SIGTERM: finishing the in-flight step" in cap.err
+    out = cap.out
     assert "preempted at global step 2" in out
     assert os.path.isdir(os.path.join(out_pre, "preempt"))
+    assert os.path.exists(
+        os.path.join(out_pre, "preempt", "meta.json")
+    )
     assert "epoch 0:" not in out  # no epoch completed before preemption
 
     # resume: must re-enter mid-epoch and finish both epochs
@@ -196,7 +202,7 @@ def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capsys,
               "--resume", out_pre])
     finally:
         signal.signal(signal.SIGTERM, old_handler)
-    out = capsys.readouterr().out
+    out = capfd.readouterr().out
     assert "resumed from preemption checkpoint: epoch 0 step 2" in out
     assert "epoch 0:" in out and "epoch 1:" in out
 
@@ -212,3 +218,86 @@ def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capsys,
             np.asarray(a), np.asarray(b)),
         ref_vars, pre_vars,
     )
+
+
+def test_cli_sigterm_at_epoch_boundary_saves_epoch_checkpoint(
+        tmp_path, capfd, monkeypatch):
+    """SIGTERM landing during the LAST batch of an epoch (stop registers at
+    the boundary, for-else path): every batch ran, so train.py must write
+    the normal epoch checkpoint — not a preempt/ entry — or eval/--resume
+    would silently serve weights one epoch stale; resume then runs only the
+    remaining epochs, bitwise-identical to uninterrupted."""
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+
+    out_ref = str(tmp_path / "ref")
+    out_pre = str(tmp_path / "pre")
+
+    _run([*BASE, "--epochs", "2", "--output-dir", out_ref])
+    capfd.readouterr()
+
+    orig = Trainer.train_epoch
+
+    def fire_sigterm(state, gstep):
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    def wrapped(self, state, loader, epoch, step_callback=None,
+                step_callback_freq=0, start_step=0):
+        # spe=3: freq 3 fires after the epoch's last step; the flag is
+        # then seen by the exhausted-iterator (for-else) path.
+        return orig(self, state, loader, epoch, step_callback=fire_sigterm,
+                    step_callback_freq=3, start_step=start_step)
+
+    monkeypatch.setattr(Trainer, "train_epoch", wrapped)
+    old_handler = signal.getsignal(signal.SIGTERM)
+    try:
+        _run([*BASE, "--epochs", "2", "--output-dir", out_pre])
+    finally:
+        monkeypatch.undo()
+        signal.signal(signal.SIGTERM, old_handler)
+    out = capfd.readouterr().out
+    assert "preempted at the epoch-0 boundary" in out
+    assert not os.path.isdir(os.path.join(out_pre, "preempt"))
+
+    try:
+        _run([*BASE, "--epochs", "2", "--output-dir", out_pre,
+              "--resume", out_pre])
+    finally:
+        signal.signal(signal.SIGTERM, old_handler)
+    out = capfd.readouterr().out
+    assert "resumed from epoch 0" in out
+    assert "epoch 1:" in out and "epoch 0:" not in out
+
+    ref_mgr = CheckpointManager(out_ref)
+    pre_mgr = CheckpointManager(out_pre)
+    ref_vars, ref_epoch, _ = ref_mgr.restore_variables()
+    pre_vars, pre_epoch, _ = pre_mgr.restore_variables()
+    ref_mgr.close()
+    pre_mgr.close()
+    assert ref_epoch == pre_epoch == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        ref_vars, pre_vars,
+    )
+
+
+def test_resume_refuses_missing_checkpoint(tmp_path):
+    """A mistyped --resume path must abort, not silently train from
+    scratch (discarding the run it was meant to continue)."""
+    with pytest.raises(SystemExit, match="no checkpoint found"):
+        _run([*BASE, "--epochs", "1",
+              "--output-dir", str(tmp_path / "out"),
+              "--resume", str(tmp_path / "nonexistent")])
+
+
+def test_resume_refuses_steps_per_epoch_mismatch(tmp_path):
+    """The preempt key is in global-step units: resuming with a different
+    batch size/dataset would mis-map divmod(gstep, spe) — refused via the
+    pinned meta.json."""
+    out = tmp_path / "run"
+    (out / "preempt").mkdir(parents=True)
+    with open(out / "preempt" / "meta.json", "w") as f:
+        json.dump({"steps_per_epoch": 999, "global_batch": 1}, f)
+    with pytest.raises(SystemExit, match="steps_per_epoch"):
+        _run([*BASE, "--epochs", "1", "--output-dir", str(out),
+              "--resume", str(out)])

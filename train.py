@@ -15,6 +15,7 @@ initialize via ``jax.distributed.initialize()`` (SURVEY.md §2.6).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 
@@ -359,6 +360,7 @@ def main(argv=None):
         compute_dtype=dtype, schedule=schedule, print_freq=args.print_freq,
         writer=writer, step_tracer=step_tracer, sync_bn=args.sync_bn,
         grad_accum=args.grad_accum,
+        preempt_sync=args.on_preempt == "save",
     )
     state = trainer.create_state(jax.random.PRNGKey(seed), args.image_size)
 
@@ -399,14 +401,19 @@ def main(argv=None):
 
     mgr = CheckpointManager(os.path.abspath(args.output_dir))
     best_acc1, start_epoch, start_step = 0.0, args.start_epoch, 0
+    restored_any = False
     if args.resume:
         rmgr = (mgr if os.path.abspath(args.resume) == os.path.abspath(args.output_dir)
                 else CheckpointManager(os.path.abspath(args.resume)))
         try:
             state, start_epoch, best_acc1 = rmgr.restore(state)
+            restored_any = True
         except FileNotFoundError:
             # No epoch checkpoint yet — legal when the run was preempted
-            # inside its very first epoch (only preempt/ exists).
+            # inside its very first epoch (only preempt/ exists); the
+            # restored_any check below still aborts if preempt/ is
+            # missing too (e.g. a mistyped --resume path must not
+            # silently train from scratch).
             pass
         except (ValueError, KeyError) as e:
             # The optimizer-state layout depends on --optimizer and
@@ -428,17 +435,42 @@ def main(argv=None):
         pre_dir = os.path.join(os.path.abspath(args.resume), "preempt")
         if os.path.isdir(pre_dir):
             spe = train_loader.steps_per_epoch()
+            meta_path = os.path.join(pre_dir, "meta.json")
+            if os.path.exists(meta_path):
+                # The preempt key is in global-STEP units: divmod below is
+                # only meaningful with the same steps_per_epoch the
+                # interrupted run had. Resuming with a different
+                # --batch-size/dataset would silently land on a bogus
+                # epoch/step — refuse instead.
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                if meta["steps_per_epoch"] != spe:
+                    raise SystemExit(
+                        f"preemption checkpoint {pre_dir} was written with "
+                        f"steps_per_epoch={meta['steps_per_epoch']} (global "
+                        f"batch {meta['global_batch']}); this invocation "
+                        f"has steps_per_epoch={spe}. Mid-epoch resume "
+                        "needs the same batch size and dataset — rerun "
+                        "with the original settings."
+                    )
             pmgr = CheckpointManager(pre_dir, max_to_keep=1, track_best=False)
             try:
                 gstep = pmgr.latest_epoch()  # key = next global step to run
                 if gstep is not None and gstep > start_epoch * spe:
                     state, _, best_acc1 = pmgr.restore(state, epoch=gstep)
+                    restored_any = True
                     start_epoch, start_step = divmod(gstep, spe)
                     print(f"=> resumed from preemption checkpoint: epoch "
                           f"{start_epoch} step {start_step} "
                           f"(global step {gstep})")
             finally:
                 pmgr.close()
+        if not restored_any:
+            raise SystemExit(
+                f"--resume {args.resume}: no checkpoint found (neither an "
+                "epoch checkpoint nor preempt/) — refusing to silently "
+                "train from scratch"
+            )
 
     if args.evaluate:
         trainer.validate(state, val_loader)
@@ -457,13 +489,18 @@ def main(argv=None):
         import signal
 
         def _on_sigterm(signum, frame):
+            # Event.set + os.write only: print() from a signal handler can
+            # hit CPython's buffered-stdout reentrancy guard (RuntimeError:
+            # reentrant call) if the signal lands inside the main thread's
+            # own print — which would crash the run BEFORE the preempt
+            # checkpoint it exists to write.
             trainer.request_stop()
-            print("=> SIGTERM: finishing the in-flight step, then saving a "
-                  "preemption checkpoint…", flush=True)
+            os.write(2, b"=> SIGTERM: finishing the in-flight step, then "
+                        b"saving a preemption checkpoint...\n")
 
         signal.signal(signal.SIGTERM, _on_sigterm)
 
-    step_cb = None
+    step_cb, step_mgr = None, None
     if args.save_freq_steps > 0:
         step_mgr = CheckpointManager(
             os.path.abspath(os.path.join(args.output_dir, "steps")),
@@ -482,20 +519,45 @@ def main(argv=None):
         )
         start_step = 0
         if trainer.stopped_early:
-            # NOTE: this save is collective too (every preempted process
-            # calls it); the checkpoint key is the next global step to run.
-            pdir = os.path.join(os.path.abspath(args.output_dir), "preempt")
-            pmgr = CheckpointManager(pdir, max_to_keep=1, track_best=False)
-            pmgr.save(trainer.next_global_step, state, acc1=0.0,
-                      best_acc1=best_acc1, wait=True)
-            pmgr.close()
-            mgr.wait()
-            if jax.process_index() == 0:
-                print(f"=> preempted at global step "
-                      f"{trainer.next_global_step}; checkpoint saved to "
-                      f"{pdir}. Continue with: --resume {args.output_dir}",
-                      flush=True)
-            return
+            spe = train_loader.steps_per_epoch()
+            if trainer.next_global_step == (epoch + 1) * spe:
+                # The stop registered at the epoch boundary — every batch of
+                # this epoch ran. Write the normal epoch checkpoint (so
+                # eval/--resume/export see the finished epoch instead of
+                # only a preempt/ entry) and skip validate: the preemption
+                # grace window is for saving state, not scoring it. The one
+                # loss is this epoch's metric/best-tracking, noted below.
+                mgr.save(epoch, state, acc1=0.0, best_acc1=best_acc1,
+                         wait=True)
+                if jax.process_index() == 0:
+                    print(f"=> preempted at the epoch-{epoch} boundary; "
+                          f"epoch checkpoint saved (validate skipped). "
+                          f"Continue with: --resume {args.output_dir}",
+                          flush=True)
+            else:
+                # NOTE: this save is collective too (every preempted
+                # process calls it); the checkpoint key is the next global
+                # step to run.
+                pdir = os.path.join(os.path.abspath(args.output_dir),
+                                    "preempt")
+                pmgr = CheckpointManager(pdir, max_to_keep=1,
+                                         track_best=False)
+                pmgr.save(trainer.next_global_step, state, acc1=0.0,
+                          best_acc1=best_acc1, wait=True)
+                pmgr.close()
+                if jax.process_index() == 0:
+                    # Pins steps_per_epoch so a mid-epoch resume with a
+                    # different batch size/dataset is refused, not
+                    # silently mis-mapped.
+                    with open(os.path.join(pdir, "meta.json"), "w") as f:
+                        json.dump({"steps_per_epoch": spe,
+                                   "global_batch": args.batch_size}, f)
+                    print(f"=> preempted at global step "
+                          f"{trainer.next_global_step}; checkpoint saved "
+                          f"to {pdir}. Continue with: "
+                          f"--resume {args.output_dir}",
+                          flush=True)
+            break
         acc1, acc5, _ = trainer.validate(state, val_loader)
         ema_note = ""
         if args.model_ema:
@@ -531,7 +593,13 @@ def main(argv=None):
                     f"val {val_loader.fallback_count})",
                     flush=True,
                 )
+    # Shared shutdown for BOTH the normal end and the preemption break:
+    # an in-flight async step checkpoint must finish (not be killed
+    # mid-write), and buffered TensorBoard/trace tails must flush.
     mgr.wait()
+    if step_mgr is not None:
+        step_mgr.wait()
+        step_mgr.close()
     if step_tracer is not None:
         step_tracer.close()
     if writer is not None:
