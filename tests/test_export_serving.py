@@ -84,6 +84,40 @@ def test_symbolic_batch_serves_any_batch_size():
         np.testing.assert_array_equal(got, want)
 
 
+def test_raw_input_artifact_matches_host_normalize():
+    """--raw-input bakes /255 + mean/std into the artifact; feeding it raw
+    uint8 must equal the host-side transforms.normalize path feeding the
+    float32 artifact (same fp32 math, just relocated on-accelerator)."""
+    from mnasnet_tpu.data.transforms import normalize
+
+    from mnasnet_tpu import create_model
+
+    model = create_model("mnasnet0_35", num_classes=8, dw_impl="xla")
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, IMG, IMG, 3)), train=False)
+
+    fn_f32, x_f32 = export_serving.build_forward(
+        "mnasnet0_35", 8, "float32", v, IMG, batch_size=2, dw_impl="xla"
+    )
+    fn_raw, x_raw = export_serving.build_forward(
+        "mnasnet0_35", 8, "float32", v, IMG, batch_size=2, dw_impl="xla",
+        raw_input=True,
+    )
+    assert x_raw.dtype == jnp.uint8
+    raw_art = jax.export.deserialize(
+        export_serving.export_artifact(fn_raw, x_raw, platforms=["cpu"])
+    )
+
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (2, IMG, IMG, 3), dtype=np.uint8)
+    got = np.asarray(raw_art.call(u8))
+    host_norm = np.stack(
+        [normalize(im.astype(np.float32) / 255.0) for im in u8]
+    )
+    want = np.asarray(fn_f32(jnp.asarray(host_norm)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_export_rejects_wrong_shape(tmp_path):
     fn, x = export_serving.build_forward(
         "mnasnet0_35", 8, "float32", None, IMG, batch_size=4, dw_impl="xla"

@@ -38,12 +38,19 @@ sys.path.insert(0, REPO)
 
 def build_forward(arch: str, num_classes: int, dtype_name: str,
                   weights: dict | None, image_size: int, batch_size: int,
-                  dw_impl: str = "auto"):
-    """(jitted eval-forward closure with weights baked in, example input)."""
+                  dw_impl: str = "auto", raw_input: bool = False):
+    """(jitted eval-forward closure with weights baked in, example input).
+
+    ``raw_input=True`` bakes the torchvision normalize step into the
+    artifact: the call contract becomes uint8 [batch,H,W,3] RGB (decoded +
+    resized, 0–255) and the uint8→[0,1]→(x−mean)/std pipeline runs
+    on-accelerator in float32 (transforms.py:120 semantics) — the serving
+    host then needs only decode + resize."""
     import jax
     import jax.numpy as jnp
 
     from mnasnet_tpu import create_model
+    from mnasnet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = create_model(arch, num_classes=num_classes, dtype=dtype,
@@ -54,14 +61,19 @@ def build_forward(arch: str, num_classes: int, dtype_name: str,
             jnp.zeros((1, image_size, image_size, 3)), train=False,
         )
     weights = jax.tree.map(jnp.asarray, weights)
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
 
     def forward(images):
+        if raw_input:
+            images = (images.astype(jnp.float32) / 255.0 - mean) / std
         # fp32 in → logits fp32 out regardless of the compute dtype, so the
         # serving contract is dtype-stable across exported variants.
         logits = model.apply(weights, images, train=False)
         return logits.astype(jnp.float32)
 
-    x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
+    in_dtype = jnp.uint8 if raw_input else jnp.float32
+    x = jnp.zeros((batch_size, image_size, image_size, 3), in_dtype)
     return jax.jit(forward), x
 
 
@@ -128,6 +140,10 @@ def main(argv=None):
                    help="export with a symbolic leading dim: one artifact "
                         "serves any batch size (-b then only sizes the "
                         "--verify replay)")
+    p.add_argument("--raw-input", action="store_true",
+                   help="bake the torchvision normalize into the artifact: "
+                        "input becomes uint8 RGB 0-255 (decoded+resized); "
+                        "/255, mean/std run on-accelerator")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering targets (default tpu,cpu "
                         "— one artifact serves both)")
@@ -145,13 +161,17 @@ def main(argv=None):
     fn, x = build_forward(
         args.arch, args.num_classes, args.dtype, weights,
         args.image_size, args.batch_size, dw_impl=args.fused_kernels,
+        raw_input=args.raw_input,
     )
 
     if args.verify:
         with open(args.verify, "rb") as f:
             exported = jax.export.deserialize(f.read())
         rng = np.random.default_rng(0)
-        img = rng.standard_normal(x.shape, dtype=np.float32)
+        if args.raw_input:
+            img = rng.integers(0, 256, x.shape, dtype=np.uint8)
+        else:
+            img = rng.standard_normal(x.shape, dtype=np.float32)
         got = np.asarray(exported.call(img))
         want = np.asarray(fn(img))
         diff = float(np.abs(got - want).max())
@@ -169,9 +189,10 @@ def main(argv=None):
     with open(args.out, "wb") as f:
         f.write(data)
     b = "b" if args.symbolic_batch else str(args.batch_size)
+    in_ty = "uint8" if args.raw_input else "float32"
     print(f"wrote {args.out}: {len(data) / 1e6:.2f} MB, "
           f"platforms={platforms}, "
-          f"call: f(float32[{b},{args.image_size},"
+          f"call: f({in_ty}[{b},{args.image_size},"
           f"{args.image_size},3]) -> float32 logits")
     return 0
 
