@@ -26,23 +26,13 @@ import time
 
 
 def _backend_reachable(timeout_s: int = 300) -> bool:
-    """Probe the default backend in a THROWAWAY subprocess: during a
-    tunnel outage ``jax.devices()`` hangs ~27 min in-process instead of
-    raising (verify-skill symptom log), which would wedge the whole bench.
-    A bounded probe lets the bench fail fast with an explicit JSON record
-    instead."""
-    import os
-    import subprocess
-    import sys
+    """Bounded subprocess probe (utils/backend_probe.py): during a tunnel
+    outage ``jax.devices()`` hangs ~27 min in-process instead of raising
+    (verify-skill symptom log), which would wedge the whole bench. The
+    probe lets the bench fail fast with an explicit JSON record instead."""
+    from mnasnet_tpu.utils.backend_probe import default_backend_device_count
 
-    code = "import jax; jax.devices()"
-    try:
-        return subprocess.run(
-            [sys.executable, "-c", code], env=dict(os.environ),
-            capture_output=True, timeout=timeout_s,
-        ).returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    return default_backend_device_count(timeout_s=timeout_s) is not None
 
 
 def main():
@@ -56,8 +46,12 @@ def main():
     args = p.parse_args()
 
     if not _backend_reachable():
+        # Same metric key as the success record so consumers see one
+        # series; value 0 + error field + nonzero exit make it
+        # unmistakably a non-measurement.
         print(json.dumps({
-            "metric": "train_images_per_sec_per_chip",
+            "metric": (f"{args.arch}@{args.image_size} train "
+                       "images/sec/chip (bf16)"),
             "value": 0,
             "unit": "images/sec/chip",
             "vs_baseline": 0,
@@ -65,7 +59,7 @@ def main():
                      "no measurement taken; see BASELINE.md for the "
                      "recorded numbers",
         }))
-        return
+        return 1
 
     import jax
     import jax.numpy as jnp
@@ -257,4 +251,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())

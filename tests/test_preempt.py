@@ -290,14 +290,132 @@ def test_resume_refuses_missing_checkpoint(tmp_path):
               "--resume", str(tmp_path / "nonexistent")])
 
 
-def test_resume_refuses_steps_per_epoch_mismatch(tmp_path):
+def _with_batch_size(argv, bs):
+    argv = list(argv)
+    argv[argv.index("--batch-size") + 1] = str(bs)
+    return argv
+
+
+def test_resume_refuses_steps_per_epoch_mismatch(tmp_path, capfd,
+                                                 monkeypatch):
     """The preempt key is in global-step units: resuming with a different
     batch size/dataset would mis-map divmod(gstep, spe) — refused via the
-    pinned meta.json."""
-    out = tmp_path / "run"
-    (out / "preempt").mkdir(parents=True)
-    with open(out / "preempt" / "meta.json", "w") as f:
-        json.dump({"steps_per_epoch": 999, "global_batch": 1}, f)
+    pinned meta.json. But ONLY when the preempt checkpoint is actually
+    consumed: once the interruption has been resumed and superseded by an
+    epoch checkpoint, the stale preempt entry must not block a legal
+    epoch-granular resume with a new batch size."""
+    out = str(tmp_path / "run")
+
+    # real preemption: SIGTERM lands after step 2 of epoch 0 (spe=3)
+    orig = Trainer.train_epoch
+
+    def fire_sigterm(state, gstep):
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    def wrapped(self, state, loader, epoch, step_callback=None,
+                step_callback_freq=0, start_step=0):
+        return orig(self, state, loader, epoch, step_callback=fire_sigterm,
+                    step_callback_freq=2, start_step=start_step)
+
+    monkeypatch.setattr(Trainer, "train_epoch", wrapped)
+    old_handler = signal.getsignal(signal.SIGTERM)
+    try:
+        _run([*BASE, "--epochs", "2", "--output-dir", out])
+    finally:
+        monkeypatch.undo()
+        signal.signal(signal.SIGTERM, old_handler)
+    capfd.readouterr()
+    assert os.path.exists(os.path.join(out, "preempt", "meta.json"))
+
+    # mid-epoch resume with a different batch size (spe 3 -> 6): refused
     with pytest.raises(SystemExit, match="steps_per_epoch"):
-        _run([*BASE, "--epochs", "1", "--output-dir", str(out),
-              "--resume", str(out)])
+        _run([*_with_batch_size(BASE, 8), "--epochs", "2",
+              "--output-dir", out, "--resume", out])
+    capfd.readouterr()
+
+    # correct resume consumes the preempt checkpoint and finishes the run
+    _run([*BASE, "--epochs", "2", "--output-dir", out, "--resume", out])
+    out_text = capfd.readouterr().out
+    assert "resumed from preemption checkpoint: epoch 0 step 2" in out_text
+
+    # the preempt entry (key 2) is now STALE; an epoch-granular resume with
+    # a new batch size is legal and must not be blocked by its meta.json
+    _run([*_with_batch_size(BASE, 8), "--epochs", "3",
+          "--output-dir", out, "--resume", out])
+    out_text = capfd.readouterr().out
+    assert "epoch 2:" in out_text
+
+
+def _train_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("train_mod", TRAIN)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_check_preempt_meta_tolerates_torn_or_missing(tmp_path, capsys):
+    """A hard kill can tear the meta.json write; the resume must warn and
+    proceed (the checkpoint itself is orbax-atomic), not crash."""
+    train_mod = _train_module()
+    pre = tmp_path / "preempt"
+    pre.mkdir()
+    train_mod._check_preempt_meta(str(pre), 3)  # missing: fine
+    (pre / "meta.json").write_text("{truncated")
+    train_mod._check_preempt_meta(str(pre), 3)  # torn: warn, fine
+    (pre / "meta.json").write_text('{"steps_per_epoch": 3}')
+    train_mod._check_preempt_meta(str(pre), 3)  # matching: fine
+    (pre / "meta.json").write_text(
+        '{"steps_per_epoch": 7, "global_batch": 8}'
+    )
+    with pytest.raises(SystemExit, match="steps_per_epoch=7"):
+        train_mod._check_preempt_meta(str(pre), 3)
+
+
+def test_cli_preempt_before_first_step_resumes(tmp_path, capfd,
+                                               monkeypatch):
+    """A preemption landing before the very first optimizer step writes
+    preempt key 0 — --resume must restore it (regression: `gstep > 0*spe`
+    refused key 0 as 'no checkpoint found', bricking supervised
+    restarts)."""
+    from mnasnet_tpu.train.checkpoint import CheckpointManager
+
+    out_ref = str(tmp_path / "ref")
+    out_pre = str(tmp_path / "pre")
+
+    _run([*BASE, "--epochs", "2", "--output-dir", out_ref])
+    capfd.readouterr()
+
+    orig = Trainer.train_epoch
+
+    def wrapped(self, state, loader, epoch, step_callback=None,
+                step_callback_freq=0, start_step=0):
+        self.request_stop()  # stop flag set BEFORE any step issues
+        return orig(self, state, loader, epoch, start_step=start_step)
+
+    monkeypatch.setattr(Trainer, "train_epoch", wrapped)
+    try:
+        _run([*BASE, "--epochs", "2", "--output-dir", out_pre])
+    finally:
+        monkeypatch.undo()
+    out = capfd.readouterr().out
+    assert "preempted at global step 0" in out
+
+    _run([*BASE, "--epochs", "2", "--output-dir", out_pre,
+          "--resume", out_pre])
+    out = capfd.readouterr().out
+    assert "resumed from preemption checkpoint: epoch 0 step 0" in out
+
+    ref_mgr = CheckpointManager(out_ref)
+    pre_mgr = CheckpointManager(out_pre)
+    ref_vars, ref_epoch, _ = ref_mgr.restore_variables()
+    pre_vars, pre_epoch, _ = pre_mgr.restore_variables()
+    ref_mgr.close()
+    pre_mgr.close()
+    assert ref_epoch == pre_epoch == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        ref_vars, pre_vars,
+    )

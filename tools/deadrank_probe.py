@@ -53,13 +53,23 @@ def _kill_run(outdir: str, log_prefix: str) -> tuple:
     trigger = re.compile(r"Epoch: \[1\]\[")
     killed_at = None
     deadline = time.time() + 1200
+
+    def epoch_ckpt_durable() -> bool:
+        # The collective epoch-0 save is async: the epoch-1 progress print
+        # can precede the finalized orbax dir. Killing in that window
+        # leaves nothing restorable and the recovery leg would (rightly)
+        # refuse to resume — wait for a finalized numeric dir.
+        return os.path.isdir(outdir) and any(
+            n.isdigit() for n in os.listdir(outdir)
+        )
+
     try:
         while time.time() < deadline:
             text = ""
             if os.path.exists(lognames[0]):
                 with open(lognames[0]) as f:
                     text = f.read()
-            if trigger.search(text):
+            if trigger.search(text) and epoch_ckpt_durable():
                 procs[1].kill()  # SIGKILL: no handler, no shutdown path
                 killed_at = time.time()
                 break

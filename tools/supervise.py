@@ -125,7 +125,16 @@ def main(argv=None):
 
     fast_failures = 0
     attempt = 0
+    rc = None
     while True:
+        if stop["flag"]:
+            # SIGTERM can land in the window between a child's exit and
+            # the next launch — honoring it only via the forward() signal
+            # path would let a fresh child train on, oblivious to the
+            # platform's preemption notice.
+            print("[supervise] stop requested — not launching a new "
+                  "attempt", flush=True)
+            return rc if rc is not None else 128 + signal.SIGTERM
         attempt += 1
         cmd = build_cmd(train_args, outdir)
         print(f"[supervise] attempt {attempt}: {' '.join(cmd[1:])}",

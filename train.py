@@ -205,6 +205,39 @@ def maybe_init_distributed(args) -> None:
         jax.distributed.initialize()
 
 
+def _check_preempt_meta(pre_dir: str, spe: int) -> None:
+    """The preempt checkpoint key is in global-STEP units: divmod is only
+    meaningful with the same steps_per_epoch the interrupted run had, so
+    meta.json pins it and a mismatched resume (different --batch-size or
+    dataset) is refused. A missing/unreadable meta (old checkpoint, or a
+    torn write when a hard kill landed mid-dump) skips the check with a
+    warning rather than crashing the resume — the checkpoint itself is
+    orbax-atomic and valid."""
+    import sys
+
+    meta_path = os.path.join(pre_dir, "meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        saved_spe = meta["steps_per_epoch"]
+    except FileNotFoundError:
+        return
+    except (json.JSONDecodeError, KeyError, OSError, TypeError) as e:
+        print(f"WARNING: unreadable {meta_path} ({e!r}) — skipping the "
+              "steps-per-epoch consistency check; make sure this resume "
+              "uses the interrupted run's batch size and dataset",
+              file=sys.stderr, flush=True)
+        return
+    if saved_spe != spe:
+        raise SystemExit(
+            f"preemption checkpoint {pre_dir} was written with "
+            f"steps_per_epoch={saved_spe} (global batch "
+            f"{meta.get('global_batch', '?')}); this invocation has "
+            f"steps_per_epoch={spe}. Mid-epoch resume needs the same "
+            "batch size and dataset — rerun with the original settings."
+        )
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -435,28 +468,20 @@ def main(argv=None):
         pre_dir = os.path.join(os.path.abspath(args.resume), "preempt")
         if os.path.isdir(pre_dir):
             spe = train_loader.steps_per_epoch()
-            meta_path = os.path.join(pre_dir, "meta.json")
-            if os.path.exists(meta_path):
-                # The preempt key is in global-STEP units: divmod below is
-                # only meaningful with the same steps_per_epoch the
-                # interrupted run had. Resuming with a different
-                # --batch-size/dataset would silently land on a bogus
-                # epoch/step — refuse instead.
-                with open(meta_path) as f:
-                    meta = json.load(f)
-                if meta["steps_per_epoch"] != spe:
-                    raise SystemExit(
-                        f"preemption checkpoint {pre_dir} was written with "
-                        f"steps_per_epoch={meta['steps_per_epoch']} (global "
-                        f"batch {meta['global_batch']}); this invocation "
-                        f"has steps_per_epoch={spe}. Mid-epoch resume "
-                        "needs the same batch size and dataset — rerun "
-                        "with the original settings."
-                    )
             pmgr = CheckpointManager(pre_dir, max_to_keep=1, track_best=False)
             try:
                 gstep = pmgr.latest_epoch()  # key = next global step to run
-                if gstep is not None and gstep > start_epoch * spe:
+                # >= (not >): a preemption before the very first optimizer
+                # step writes key 0, and `0 > 0` would refuse the only
+                # checkpoint the run has (bricking supervised restarts).
+                # Mid-epoch keys always have gstep % spe != 0, so a STALE
+                # preempt entry from an earlier, already-resumed
+                # interruption still loses to the epoch checkpoint here.
+                if gstep is not None and gstep >= start_epoch * spe:
+                    # Consistency check only when the preempt checkpoint is
+                    # actually used — a stale entry must not block a legal
+                    # epoch-granular resume with a changed batch size.
+                    _check_preempt_meta(pre_dir, spe)
                     state, _, best_acc1 = pmgr.restore(state, epoch=gstep)
                     restored_any = True
                     start_epoch, start_step = divmod(gstep, spe)
@@ -548,10 +573,14 @@ def main(argv=None):
                 if jax.process_index() == 0:
                     # Pins steps_per_epoch so a mid-epoch resume with a
                     # different batch size/dataset is refused, not
-                    # silently mis-mapped.
-                    with open(os.path.join(pdir, "meta.json"), "w") as f:
+                    # silently mis-mapped. Write-to-temp + rename: a hard
+                    # kill mid-dump must not leave a torn meta.json next
+                    # to a valid checkpoint.
+                    meta_path = os.path.join(pdir, "meta.json")
+                    with open(meta_path + ".tmp", "w") as f:
                         json.dump({"steps_per_epoch": spe,
                                    "global_batch": args.batch_size}, f)
+                    os.replace(meta_path + ".tmp", meta_path)
                     print(f"=> preempted at global step "
                           f"{trainer.next_global_step}; checkpoint saved "
                           f"to {pdir}. Continue with: "
