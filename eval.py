@@ -54,10 +54,11 @@ def main(argv=None):
     model = create_model(args.arch, dtype=dtype, dw_impl=args.fused_kernels)
 
     if args.pretrained:
-        import torch
+        from mnasnet_tpu.pretrained import load_state_dict_file
 
-        ckpt = torch.load(args.pretrained, map_location="cpu", weights_only=True)
-        sd = ckpt.get("state_dict", ckpt)
+        # One loading implementation framework-wide (pretrained.py):
+        # torch pickles or converted .npz arrays.
+        sd = load_state_dict_file(args.pretrained)
         variables = jax.tree.map(jnp.asarray, torch_to_flax(sd, model.alpha))
     elif args.resume:
         import os

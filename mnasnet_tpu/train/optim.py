@@ -193,6 +193,35 @@ def fused_flat(make_inner, small_only: bool = False) -> optax.GradientTransforma
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def backbone_frozen_mask(params) -> Any:
+    """Frozen-mask for linear-probe fine-tuning (True = frozen): every
+    parameter except the top-level ``classifier`` head. The torch-lineage
+    transfer-learning recipe (``requires_grad=False`` on the backbone after
+    swapping the final Linear) — see :func:`freeze`."""
+    return {
+        k: jax.tree.map(lambda _: k != "classifier", v)
+        for k, v in params.items()
+    }
+
+
+def freeze(
+    tx: optax.GradientTransformation, frozen_mask
+) -> optax.GradientTransformation:
+    """Zero the FINAL updates of frozen parameters (torch
+    ``requires_grad=False`` analogue). Chained after ``tx`` — not before —
+    because the coupled weight decay inside ``tx`` adds ``wd·p`` to the
+    (zeroed) gradient, which would silently decay "frozen" weights if the
+    mask were applied at the gradient instead of the update.
+
+    Matching torch semantics exactly: BatchNorm *running statistics* are
+    not parameters and keep updating in training mode (callers wanting
+    fully static backbone behavior should evaluate with running stats,
+    which eval mode already does). Optimizer slots for frozen params still
+    exist (a small memory cost) but are never applied.
+    """
+    return optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
+
+
 class ModelEmaState(NamedTuple):
     count: jnp.ndarray
     ema_params: Any
@@ -361,12 +390,17 @@ def create_optimizer(
     fused: bool | str = False,
     model_ema: float | None = None,
     model_ema_warmup: bool = True,
+    frozen_mask=None,
 ) -> optax.GradientTransformation:
     """``fused=True`` runs the (elementwise-identical) update math on packed
     flat vectors instead of ~160 leaves; ``fused='small'`` packs only the
     1-D per-channel leaves — see :func:`fused_flat`. ``model_ema=0.9999``
     additionally maintains the TF-recipe weight moving average (outermost,
-    over the real unpacked tree — see :func:`with_model_ema`)."""
+    over the real unpacked tree — see :func:`with_model_ema`).
+    ``frozen_mask`` (pytree or callable, True = frozen) zeroes the final
+    updates of the marked params — see :func:`freeze`; composes with both
+    ``fused`` (the core tx unpacks before the mask applies) and
+    ``model_ema`` (the shadow tracks the post-freeze params)."""
     if name == "sgd":
         make = lambda mask: sgd(
             learning_rate, momentum=momentum, weight_decay=weight_decay,
@@ -388,6 +422,8 @@ def create_optimizer(
         if fused
         else make(_wd_mask)
     )
+    if frozen_mask is not None:
+        tx = freeze(tx, frozen_mask)
     if model_ema:
         if not (0.0 < model_ema < 1.0):
             raise ValueError(f"model_ema decay must be in (0, 1), got {model_ema}")

@@ -156,6 +156,12 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-size", type=int, default=1024,
                    help="samples per synthetic epoch")
     p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="train only the classifier head (linear probe): "
+                        "backbone parameter updates are zeroed; BN running "
+                        "stats still update in training mode (torch "
+                        "requires_grad=False semantics). Pair with "
+                        "--pretrained + --num-classes for transfer learning")
     p.add_argument("--profile-steps", default="",
                    help="N:M — jax.profiler trace of train steps N..M (epoch 0)")
     p.add_argument("--tensorboard", default="",
@@ -171,7 +177,8 @@ def parse_args(argv=None):
     # to be the dataset root.
     if (args.data is None and args.pretrained
             and args.pretrained != "__auto__"
-            and not args.pretrained.endswith((".pth", ".pth.tar", ".pt"))
+            and not args.pretrained.endswith((".pth", ".pth.tar", ".pt",
+                                              ".npz"))
             and os.path.isdir(args.pretrained)):
         args.data, args.pretrained = args.pretrained, "__auto__"
     if args.deterministic:
@@ -352,11 +359,19 @@ def main(argv=None):
         args.lr_schedule, base_lr, steps_per_epoch, args.epochs,
         warmup_epochs=args.warmup_epochs,
     )
+    frozen_mask = None
+    if args.freeze_backbone:
+        from mnasnet_tpu.train.optim import backbone_frozen_mask
+
+        frozen_mask = backbone_frozen_mask
+        print("=> --freeze-backbone: only the classifier head trains "
+              "(BN running stats still update)")
     tx = create_optimizer(
         args.optimizer, schedule,
         momentum=args.momentum, weight_decay=args.weight_decay,
         fused="small" if args.fused_updates else False,
         model_ema=args.model_ema or None,
+        frozen_mask=frozen_mask,
     )
 
     writer = None
@@ -400,14 +415,14 @@ def main(argv=None):
     if args.pretrained:
         import jax.numpy as jnp_
         from mnasnet_tpu.convert.torch_converter import torch_to_flax
-        from mnasnet_tpu.models.mnasnet import MODEL_REGISTRY
+        from mnasnet_tpu.pretrained import load_state_dict_file
 
         alpha = model.alpha
         if args.pretrained == "__auto__":
             # Reference boolean form (--pretrained with no path). No network
             # in the TPU env, so resolve against a local weights directory.
             pdir = os.environ.get("MNASNET_PRETRAINED_DIR", "./pretrained")
-            for ext in (".pth", ".pth.tar", ".pt"):
+            for ext in (".pth", ".pth.tar", ".pt", ".npz"):
                 cand = os.path.join(pdir, args.arch + ext)
                 if os.path.exists(cand):
                     args.pretrained = cand
@@ -417,17 +432,28 @@ def main(argv=None):
                     f"--pretrained: no {args.arch}.pth under {pdir} "
                     "(set MNASNET_PRETRAINED_DIR or pass an explicit path)"
                 )
-        if args.pretrained.endswith((".pth", ".pth.tar", ".pt")):
-            import torch
-
-            ckpt = torch.load(args.pretrained, map_location="cpu",
-                              weights_only=True)
-            sd = ckpt.get("state_dict", ckpt)
-            variables = torch_to_flax(sd, alpha)
-        else:
-            raise SystemExit(f"unsupported pretrained format: {args.pretrained}")
+        try:
+            # One loading implementation for the whole framework
+            # (pretrained.py): torch .pth/.pth.tar/.pt pickles or converted
+            # .npz arrays, module. prefixes stripped.
+            sd = load_state_dict_file(args.pretrained)
+        except ValueError as e:
+            raise SystemExit(f"--pretrained: {e}")
+        variables = torch_to_flax(sd, alpha)
+        new_params = jax.tree.map(jnp_.asarray, variables["params"])
+        ckpt_classes = int(new_params["classifier"]["kernel"].shape[-1])
+        if ckpt_classes != args.num_classes:
+            # Transfer learning: backbone from the checkpoint, classifier
+            # kept at its fresh initialization (torch lineage: swap the
+            # final Linear after load_state_dict).
+            new_params = dict(new_params)
+            new_params["classifier"] = state.params["classifier"]
+            print(f"=> checkpoint classifier has {ckpt_classes} classes, "
+                  f"model has {args.num_classes}: transfer-learning load "
+                  "(backbone from checkpoint, classifier freshly "
+                  "initialized)")
         state = state.replace(
-            params=jax.tree.map(jnp_.asarray, variables["params"]),
+            params=new_params,
             batch_stats=jax.tree.map(jnp_.asarray, variables["batch_stats"]),
         )
         print(f"=> loaded pretrained weights from {args.pretrained}")
