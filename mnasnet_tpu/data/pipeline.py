@@ -19,6 +19,8 @@ equivalent overlap is:
 
 from __future__ import annotations
 
+import json
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -26,6 +28,15 @@ from typing import Callable, Iterator, Optional
 
 import jax
 import numpy as np
+
+# Debug/verification hook: when set, every batch the loader YIELDS is
+# appended to this path as one JSON line {epoch, batch, indices, n_valid}
+# (indices = dataset indices pre-padding; n_valid = real samples in a padded
+# tail, null for full batches). Used by tools/multihost_data.py to prove the
+# DistributedSampler contract on real on-disk data: the union of valid
+# indices across all hosts' logs covers every sample exactly once per epoch
+# (SURVEY.md §2.3 N8 "per-host sharding"). Off (no overhead) unless set.
+_CONSUMED_LOG_ENV = "MNASNET_TPU_CONSUMED_LOG"
 
 from mnasnet_tpu.data.dataset import shard_indices
 from mnasnet_tpu.parallel import mesh as _mesh
@@ -173,9 +184,25 @@ class DataLoader:
         # is unaffected by where iteration starts.
         todo = list(enumerate(batches))[start_step:]
 
+        log_path = os.environ.get(_CONSUMED_LOG_ENV)
+
+        def log_consumed(bi: int, batch_idx) -> None:
+            if not log_path:
+                return
+            with open(log_path, "a") as f:
+                f.write(json.dumps({
+                    # dataset length disambiguates loaders sharing one log
+                    # (train vs val have different sizes)
+                    "n": len(self.dataset),
+                    "epoch": epoch, "batch": bi,
+                    "indices": [int(i) for i in batch_idx],
+                    "n_valid": valid(bi),
+                }) + "\n")
+
         if self.workers <= 0:
             for bi, batch_idx in todo:
                 pairs = [self._load_one(epoch, i) for i in batch_idx]
+                log_consumed(bi, batch_idx)
                 yield self._collate(pairs, valid(bi))
             return
 
@@ -196,6 +223,7 @@ class DataLoader:
                     pending.append(
                         (nb[0], [pool.submit(self._load_one, epoch, i) for i in nb[1]])
                     )
+                log_consumed(bi, batches[bi])
                 yield self._collate([f.result() for f in futs], valid(bi))
 
     @staticmethod

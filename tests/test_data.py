@@ -87,6 +87,29 @@ def test_loader_threaded_equals_serial():
         np.testing.assert_array_equal(sl, tl)
 
 
+def test_consumed_log_records_yielded_batches(tmp_path, monkeypatch):
+    """MNASNET_TPU_CONSUMED_LOG captures exactly the yielded batches with
+    their pre-padding indices + n_valid — the hook tools/multihost_data.py
+    uses to prove the per-host sampler contract on real data."""
+    import json
+
+    log = tmp_path / "consumed.jsonl"
+    monkeypatch.setenv("MNASNET_TPU_CONSUMED_LOG", str(log))
+    ds = SyntheticDataset(length=10, image_size=8, num_classes=5)
+    for workers in (0, 2):
+        log.write_text("")
+        dl = DataLoader(ds, batch_size=4, transform=_tiny_transform,
+                        workers=workers, augment=False)
+        n_batches = len(list(dl.epoch(2)))
+        recs = [json.loads(line) for line in log.read_text().splitlines()]
+        assert len(recs) == n_batches == 3
+        assert all(r["epoch"] == 2 and r["n"] == 10 for r in recs)
+        valid = [i for r in recs
+                 for i in r["indices"][: r["n_valid"] or len(r["indices"])]]
+        assert sorted(valid) == list(range(10))
+        assert recs[-1]["n_valid"] == 2 and recs[0]["n_valid"] is None
+
+
 def test_imagefolder_layout(tmp_path):
     for cls in ("cat", "dog"):
         d = tmp_path / cls

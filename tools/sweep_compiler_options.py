@@ -104,6 +104,15 @@ def main():
                         "validated by probe_compiler_options --extended)")
     p.add_argument("--mode", choices=["train", "infer"], default="train",
                    help="which production step to sweep")
+    p.add_argument("--interleave", action="store_true",
+                   help="drift-robust protocol: compile ALL configs' chains "
+                        "first, then time them round-robin for --repeats "
+                        "rounds (min per config). The sequential protocol "
+                        "confounds flag effects with machine/tunnel drift "
+                        "over the sweep's ~20 min — round-4 measured the "
+                        "drift at ±1 ms/step (~7%), LARGER than any flag "
+                        "delta (SWEEP_XLAFLAGS_r04 baseline 15.11 vs "
+                        "baseline-recheck 14.19 ms, zero flags both)")
     args = p.parse_args()
 
     import jax
@@ -205,8 +214,14 @@ def main():
                     "image_size": args.image_size,
                     "batch_size": bs,
                     "mode": args.mode,
-                    "method": "slope-timed fori_loop chains, min over "
-                              f"{args.repeats} repeats",
+                    "method": (
+                        "slope-timed fori_loop chains, "
+                        + (f"interleaved round-robin, min over "
+                           f"{args.repeats} rounds (drift-robust)"
+                           if args.interleave
+                           else f"min over {args.repeats} repeats "
+                                "(sequential — subject to machine drift)")
+                    ),
                     "results": results,
                 },
                 f, indent=1,
@@ -226,10 +241,48 @@ def main():
                             "error": f"{type(e).__name__}: {str(e)[:300]}"})
         persist()
 
-    run("baseline", {})
-    for label, options in sweeps:
-        run(label, options)
-    run("baseline-recheck", {})
+    if args.interleave:
+        configs = [("baseline", {})] + sweeps
+        chains = []
+        for label, options in configs:
+            try:
+                f_lo = make_chain(args.iters_lo, options)
+                f_hi = make_chain(args.iters_hi, options)
+                jax.block_until_ready(f_lo())  # compile now
+                jax.block_until_ready(f_hi())
+                chains.append((label, options, f_lo, f_hi))
+                print(f"compiled {label}", flush=True)
+            except Exception as e:
+                print(f"{label:22} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+                results.append({"label": label, "options": options,
+                                "error": f"{type(e).__name__}: "
+                                         f"{str(e)[:300]}"})
+        best = {label: None for label, *_ in chains}
+        for r in range(args.repeats):
+            for label, options, f_lo, f_hi in chains:
+                t0 = time.perf_counter()
+                jax.block_until_ready(f_lo())
+                t_lo = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                jax.block_until_ready(f_hi())
+                t_hi = time.perf_counter() - t0
+                s = (t_hi - t_lo) / (args.iters_hi - args.iters_lo)
+                b = best[label]
+                best[label] = s if b is None else min(b, s)
+            print(f"round {r + 1}/{args.repeats} done", flush=True)
+        for label, options, *_ in chains:
+            t = best[label]
+            print(f"{label:22} {t*1e3:7.3f} ms/step  {bs/t:9,.0f} img/s",
+                  flush=True)
+            results.append({"label": label, "options": options,
+                            "ms_per_step": t * 1e3, "img_s": bs / t})
+        persist()
+    else:
+        run("baseline", {})
+        for label, options in sweeps:
+            run(label, options)
+        run("baseline-recheck", {})
     if args.out:
         print(f"wrote {args.out}")
 

@@ -89,6 +89,13 @@ def main():
                          "val_top1 in the curve is the EMA-weights score "
                          "and val_top1_raw carries the raw one")
     ap.add_argument("--grad-accum", type=int, default=1)
+    ap.add_argument("--bn-momentum", type=float, default=0.9,
+                    help="BN running-stat EMA decay. 0.9 (default) converges "
+                         "within a ~300-step smoke; 0.9997 is the production "
+                         "constant — use with >=2k steps so the eval-mode "
+                         "catch-up trajectory is observable "
+                         "(CONVERGENCE_r04_prod.json rehearsal)")
+    ap.add_argument("--warmup-epochs", type=float, default=1.0)
     args = ap.parse_args()
 
     import jax
@@ -108,9 +115,10 @@ def main():
     # collapses BY DESIGN, in torch exactly as here; measured: even 0.99
     # leaves eval at chance after 320 steps because early-training batch
     # stats drift fast). 0.9 converges within ~30 steps so the artifact
-    # also proves the train→eval running-stats handoff.
+    # also proves the train→eval running-stats handoff. --bn-momentum
+    # 0.9997 + >=2k steps runs the production-decay rehearsal instead.
     model = create_model(args.arch, num_classes=10, dtype=dtype,
-                         bn_momentum=0.9, bn_ema="external")
+                         bn_momentum=args.bn_momentum, bn_ema="external")
 
     train_ds = GratingDataset(args.train_size, args.image_size, seed=1)
     val_ds = GratingDataset(args.val_size, args.image_size, seed=2)
@@ -130,7 +138,7 @@ def main():
     base_lr = 0.016 if args.optimizer == "rmsprop" else 0.1
     schedule = make_schedule(
         args.lr_schedule, base_lr, steps_per_epoch, args.epochs,
-        warmup_epochs=1,
+        warmup_epochs=args.warmup_epochs,
     )
     tx = create_optimizer(args.optimizer, schedule,
                           model_ema=args.model_ema or None)
@@ -183,14 +191,19 @@ def main():
         "task": "class-conditional gratings (10 classes, learnable)",
         "config": {k: v for k, v in vars(args).items() if k != "json"},
         "recipe": {
-            "label_smoothing": 0.1, "bn_ema": 0.9,
-            "bn_ema_note": "production decay is 0.9997; 0.9 here so the "
-                           "running stats converge within a 320-step run "
-                           "(same machinery, faster EMA)",
-            "wd": "1e-5 masked off BN/bias", "warmup_epochs": 1,
+            "label_smoothing": 0.1, "bn_ema": args.bn_momentum,
+            "bn_ema_note": (
+                "production decay (eval-mode stats need ~2-5k steps to "
+                "catch up — the catch-up trajectory is the point of this "
+                "artifact)" if args.bn_momentum >= 0.999 else
+                "production decay is 0.9997; the faster EMA here converges "
+                "within a short smoke (same machinery)"),
+            "wd": "1e-5 masked off BN/bias",
+            "warmup_epochs": args.warmup_epochs,
             "optimizer_semantics": "TF rmsprop (eps inside sqrt)"
             if args.optimizer == "rmsprop" else "torch sgd+momentum",
         },
+        "total_steps": args.epochs * steps_per_epoch,
         "curve": curve,
         # train_top1 is eval-mode over the AUGMENTED train pipeline (RRC can
         # shift the grating scale out of the learned band), so the clean val

@@ -636,18 +636,22 @@ def main(argv=None):
                 f"({time.perf_counter() - t0:.1f}s)",
                 flush=True,
             )
-            # Exact decoder-degradation visibility: the per-occurrence warn
-            # samples 1/100/10k, so print the real counters per epoch (the
-            # dress-rehearsal 'CMYK fell back exactly once' check parses
-            # this line; an ops run greps it).
-            fb = train_loader.fallback_count + val_loader.fallback_count
-            if fb:
-                print(
-                    f"decoder-fallbacks: {fb} "
-                    f"(train {train_loader.fallback_count}, "
-                    f"val {val_loader.fallback_count})",
-                    flush=True,
-                )
+        # Exact decoder-degradation visibility: the per-occurrence warn
+        # samples 1/100/10k, so print the real counters per epoch (the
+        # dress-rehearsal 'CMYK fell back exactly once' check parses this
+        # line; an ops run greps it). Printed by EVERY process — the
+        # fallback counter is per-host (each host decodes only its own
+        # shard), so a rank-0-only print would hide a degradation whose
+        # files live in another host's shard (tools/multihost_data.py
+        # sums the per-rank lines).
+        fb = train_loader.fallback_count + val_loader.fallback_count
+        if fb:
+            print(
+                f"[rank {jax.process_index()}] decoder-fallbacks: {fb} "
+                f"(train {train_loader.fallback_count}, "
+                f"val {val_loader.fallback_count})",
+                flush=True,
+            )
     # Shared shutdown for BOTH the normal end and the preemption break:
     # an in-flight async step checkpoint must finish (not be killed
     # mid-write), and buffered TensorBoard/trace tails must flush.
