@@ -226,6 +226,7 @@ def main():
                 },
                 f, indent=1,
             )
+            f.write("\n")
 
     def run(label, options):
         try:
