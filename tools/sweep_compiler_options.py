@@ -216,8 +216,9 @@ def main():
                     "mode": args.mode,
                     "method": (
                         "slope-timed fori_loop chains, "
-                        + (f"interleaved round-robin, min over "
-                           f"{args.repeats} rounds (drift-robust)"
+                        + (f"interleaved round-robin, slope of per-chain "
+                           f"minima over {args.repeats} rounds "
+                           f"(drift-robust)"
                            if args.interleave
                            else f"min over {args.repeats} repeats "
                                 "(sequential — subject to machine drift)")
@@ -259,7 +260,14 @@ def main():
                 results.append({"label": label, "options": options,
                                 "error": f"{type(e).__name__}: "
                                          f"{str(e)[:300]}"})
-        best = {label: None for label, *_ in chains}
+        # Estimator: min(t_lo) and min(t_hi) tracked SEPARATELY across
+        # rounds, slope from the two minima. min-of-per-round-slopes is
+        # fragile — one anomalously slow t_lo round makes that round's
+        # slope spuriously small (even negative) and the min latches it.
+        # Under additive positive noise, min(t) per chain is the clean
+        # estimate and the slope of the minima is the robust step time.
+        best_lo = {label: None for label, *_ in chains}
+        best_hi = {label: None for label, *_ in chains}
         for r in range(args.repeats):
             for label, options, f_lo, f_hi in chains:
                 t0 = time.perf_counter()
@@ -268,12 +276,14 @@ def main():
                 t0 = time.perf_counter()
                 jax.block_until_ready(f_hi())
                 t_hi = time.perf_counter() - t0
-                s = (t_hi - t_lo) / (args.iters_hi - args.iters_lo)
-                b = best[label]
-                best[label] = s if b is None else min(b, s)
+                b = best_lo[label]
+                best_lo[label] = t_lo if b is None else min(b, t_lo)
+                b = best_hi[label]
+                best_hi[label] = t_hi if b is None else min(b, t_hi)
             print(f"round {r + 1}/{args.repeats} done", flush=True)
         for label, options, *_ in chains:
-            t = best[label]
+            t = (best_hi[label] - best_lo[label]) / (
+                args.iters_hi - args.iters_lo)
             print(f"{label:22} {t*1e3:7.3f} ms/step  {bs/t:9,.0f} img/s",
                   flush=True)
             results.append({"label": label, "options": options,

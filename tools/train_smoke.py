@@ -96,6 +96,12 @@ def main():
                          "catch-up trajectory is observable "
                          "(CONVERGENCE_r04_prod.json rehearsal)")
     ap.add_argument("--warmup-epochs", type=float, default=1.0)
+    ap.add_argument("--eval-every", type=int, default=1,
+                    help="run the (expensive) eval-mode re-scores every N "
+                         "epochs — for the long production-decay rehearsal "
+                         "(--bn-momentum 0.9997, >=2k steps) where scoring "
+                         "val+train each epoch would dominate wall clock; "
+                         "the last epoch is always scored")
     args = ap.parse_args()
 
     import jax
@@ -155,6 +161,11 @@ def main():
         state = trainer.train_epoch(state, train_loader, epoch)
         diag = {k: round(v, 4) for k, v in trainer.epoch_diag.items()}
         tstats = {k: round(v, 4) for k, v in trainer.epoch_train_stats.items()}
+        if (epoch + 1) % args.eval_every and epoch != args.epochs - 1:
+            print(f"[smoke] epoch {epoch}: train_loss={tstats['loss']:.3f} "
+                  f"train_top1={tstats['top1']:.2f} (eval skipped) "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+            continue
         acc1, acc5, vloss = trainer.validate(state, val_loader)
         raw_note = {}
         if args.model_ema:
