@@ -1,4 +1,4 @@
-"""Tuned XLA:TPU compile options for the production steps (round 3).
+"""Tuned XLA:TPU compile options for the production steps (round 4).
 
 Rounds 1–3 recorded the bs128 train step as conv-emitter/copy-bound with
 "no flag surface through the axon tunnel" — which was true for
@@ -7,20 +7,35 @@ env-options attached to the PJRT compile request travel WITH the request,
 and the remote compile helper parses them (an unknown flag name raises —
 see tools/probe_compiler_options.py).
 
-Swept on the production 'best'-config train step (mnasnet1_0 @224 bs128
-bf16, slope-timed; tools/sweep_compiler_options.py, artifact
-SWEEP_XLAFLAGS_r03.json):
+**Round-4 correction.** Round 3 shipped
+``xla_tpu_nd_short_transfer_max_chunks=4096`` claiming "+14% train"
+(13.11 ms/step), and an early r4 sweep showed scoped-vmem 64 MiB at
+"+65% infer" (1.61 ms). Both were **estimator artifacts**: the sweep's
+interleaved protocol took the min over rounds of PER-ROUND slopes, which
+latches any round whose low-count timing was inflated by tunnel dispatch
+noise (a NEGATIVE per-step time in SWEEP_XLAFLAGS_INFER2_r04.json was the
+smoking gun). Re-measured with the noise-floor-robust estimator (slope of
+per-chain minima — the same one bench.py always used, which is why the
+driver bench stayed flat at ~8.4k img/s across rounds) and cross-checked
+with fresh-compile lotteries (tools/compile_lottery.py, 8 compiles per
+config, no 1.6 ms binary exists):
 
-  * ``xla_tpu_nd_short_transfer_max_chunks=4096`` — **13.11 ms/step =
-    9,765 img/s, +14% over the 14.94 ms no-options baseline**. This is the
-    tiny-copy/relayout storm (1.6 ms of sub-VMEM-line transfers between
-    conv fusions, BASELINE.md round 2) finally collected: raising the
-    per-descriptor chunk cap lets the DMA engine move the many short
-    strided transfers in far fewer descriptors.
-  * ``xla_tpu_enable_multi_level_nested_loop_fusion=true`` — +4% alone;
-    combined effect measured in the same artifact.
-  * scoped-vmem raises, fusion cost models, licm, rwb, latency-hiding
-    scheduler: flat to strongly negative on this step (table in artifact).
+  * train (SWEEP_XLAFLAGS_TRAIN2_r04.json, mnasnet1_0 @224 bs128 bf16):
+    baseline 15.18 ms/step; best = ``xla_tpu_enable_vmem_to_vmem_dmas``
+    at 15.08 ms (**+0.7%**, reproduced ≥ baseline in two sessions);
+    ``..._nd_short_transfer_max_chunks=4096`` +0.4%; scoped-vmem 64 MiB
+    −13% (hurts train); everything else flat-to-negative. The honest
+    conclusion: the train step has no large compile-option win on this
+    toolchain — the r3 "+14%" never existed.
+  * infer (SWEEP_XLAFLAGS_INFER3_r04.json + COMPILE_LOTTERY_INFER_r04 /
+    _V64_r04.json, bs128 bf16): ``xla_tpu_scoped_vmem_limit_kib=65536`` +
+    ``xla_tpu_enable_vmem_to_vmem_dmas`` = 2.70 ms vs 3.01 ms baseline
+    (**+7–11%** — robust sweep +11.6%; the two 8-compile lotteries'
+    medians, 2.68 vs 2.87 ms, give +7% with barely-overlapping
+    distributions). The larger scoped-VMEM budget lets the fwd-only graph
+    keep whole activation planes VMEM-resident (it *hurts* train, whose
+    live set then spills); vmem-to-vmem DMAs skip HBM round-trips between
+    fusions.
 
 The defaults below apply only on TPU backends ('tpu', 'axon'); CPU runs
 (tests, virtual meshes) get ``None`` — these are TPU-compiler env options
@@ -36,13 +51,16 @@ from __future__ import annotations
 import json
 import os
 
-# Winning set from SWEEP_XLAFLAGS_r03.json (see module docstring). Tuned
-# per step kind: the train step carries the tiny-copy spill storm the
-# chunking flag collects; the inference graph is swept separately
-# (SWEEP_XLAFLAGS_INFER_r03.json) since its copy profile differs.
+# Measured-best sets from the round-4 drift-robust sweeps (module
+# docstring). Train: vmem-to-vmem DMAs, the only option ≥ baseline in
+# both sessions (+0.7% — small but real). Infer: 64 MiB scoped VMEM +
+# vmem-to-vmem DMAs (+7–11%, lottery-confirmed across fresh compiles).
 TPU_STEP_OPTIONS: dict[str, dict[str, str]] = {
-    "train": {"xla_tpu_nd_short_transfer_max_chunks": "4096"},
-    "infer": {"xla_tpu_nd_short_transfer_max_chunks": "4096"},
+    "train": {"xla_tpu_enable_vmem_to_vmem_dmas": "true"},
+    "infer": {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_tpu_enable_vmem_to_vmem_dmas": "true",
+    },
 }
 
 _ENV_KEY = "MNASNET_TPU_XLA_OPTIONS"
