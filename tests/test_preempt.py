@@ -9,6 +9,7 @@ import os
 import runpy
 import signal
 import sys
+import time
 
 import numpy as np
 import pytest
@@ -141,6 +142,26 @@ def _run(argv):
         sys.argv = old
 
 
+def _drain_pending_sigterm():
+    """Discard any SIGTERM still in flight from the interrupted run.
+
+    These tests run train.py twice in ONE process (runpy), which production
+    never does — there each run is its own process and a signal cannot
+    outlive it. Under heavy suite contention the SIGTERM os.kill()ed inside
+    run 1 can still be pending (kernel-level, or tripped at the interpreter
+    level but not yet dispatched) when run 2 starts; it would then fire
+    run 2's freshly installed handler and spuriously preempt the resume
+    (observed once: the ema parametrization's resume stopping at its
+    epoch-0 boundary). SIG_IGN drops kernel-pending instances, and
+    executing a few bytecodes under the ignore disposition consumes an
+    interpreter-level trip."""
+    prev = signal.signal(signal.SIGTERM, signal.SIG_IGN)
+    for _ in range(64):
+        pass
+    time.sleep(0.01)
+    signal.signal(signal.SIGTERM, prev)
+
+
 @pytest.mark.parametrize(
     "extra",
     [[], ["--grad-accum", "2"], ["--model-ema", "0.999"]],
@@ -185,6 +206,7 @@ def test_cli_sigterm_preempt_save_resume_bitwise(tmp_path, capfd,
     finally:
         monkeypatch.undo()
         signal.signal(signal.SIGTERM, old_handler)
+    _drain_pending_sigterm()
     cap = capfd.readouterr()
     # the handler writes via os.write(2, ...) — signal-safe, fd-level
     assert "SIGTERM: finishing the in-flight step" in cap.err
@@ -254,6 +276,7 @@ def test_cli_sigterm_at_epoch_boundary_saves_epoch_checkpoint(
     finally:
         monkeypatch.undo()
         signal.signal(signal.SIGTERM, old_handler)
+    _drain_pending_sigterm()
     out = capfd.readouterr().out
     assert "preempted at the epoch-0 boundary" in out
     assert not os.path.isdir(os.path.join(out_pre, "preempt"))
@@ -324,6 +347,7 @@ def test_resume_refuses_steps_per_epoch_mismatch(tmp_path, capfd,
     finally:
         monkeypatch.undo()
         signal.signal(signal.SIGTERM, old_handler)
+    _drain_pending_sigterm()
     capfd.readouterr()
     assert os.path.exists(os.path.join(out, "preempt", "meta.json"))
 
