@@ -56,6 +56,16 @@ def test_cli_no_sync_bn_trains(outdir, capsys, tmp_path_factory):
     assert "epoch 0:" in out
 
 
+def test_cli_bn_recalibrate_runs_and_saves(outdir, capsys):
+    _run([*BASE, "--epochs", "1", "--bn-recalibrate", "2",
+          "--output-dir", outdir])
+    out = capsys.readouterr().out
+    assert "[bn-recal] running stats recomputed over 2 batches" in out
+    assert "bn-recalibrated: acc1=" in out
+    # recal checkpoint saved one past the last training epoch
+    assert "1" in os.listdir(outdir)
+
+
 def test_cli_deterministic_flag_resolution():
     sys.path.insert(0, REPO)
     try:

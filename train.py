@@ -122,6 +122,15 @@ def parse_args(argv=None):
                    help="space-to-depth stem lowering (exact rewrite of the "
                         "3x3/s2 RGB conv as 2x2/s1 on (H/2,W/2,12); same "
                         "checkpoint layout)")
+    p.add_argument("--bn-recalibrate", type=int, default=0, metavar="N",
+                   help="after training, recompute the BN running stats as "
+                        "EXACT pooled statistics over N train batches with "
+                        "frozen weights (0 = off; the SWA update_bn / "
+                        "stats-refresh pass, train/bn_recal.py), then "
+                        "re-validate and save. With the production BN EMA "
+                        "decay 0.9997 the running stats lag the weights by "
+                        "a ~3.3k-step horizon — short runs, fine-tunes and "
+                        "fresh-stats restores should recalibrate")
     p.add_argument("--output-dir", default="./checkpoints")
     p.add_argument("--save-freq-steps", type=int, default=0,
                    help="also checkpoint every N steps (0 = epoch-only, the "
@@ -652,6 +661,35 @@ def main(argv=None):
                 f"val {val_loader.fallback_count})",
                 flush=True,
             )
+    if args.bn_recalibrate and not trainer.stopped_early:
+        # Exact running-stat refresh with frozen weights (train/bn_recal.py)
+        # — then re-validate and persist as the post-training checkpoint
+        # (epoch index = args.epochs, one past the last training epoch, so
+        # both the raw final and the recalibrated final are kept).
+        from mnasnet_tpu.train.bn_recal import recalibrate_bn
+
+        state = state.replace(batch_stats=recalibrate_bn(
+            model, state.params, state.batch_stats, train_loader,
+            mesh=trainer.mesh, num_batches=args.bn_recalibrate,
+            compute_dtype=trainer.compute_dtype,
+            verbose=jax.process_index() == 0,
+        ))
+        acc1, acc5, _ = trainer.validate(state, val_loader)
+        if args.model_ema:
+            from mnasnet_tpu.train.optim import get_ema_params
+
+            raw_acc1 = acc1
+            acc1, acc5, _ = trainer.validate(
+                state, val_loader, verbose=False,
+                params_override=get_ema_params(state.opt_state),
+            )
+        is_best = acc1 > best_acc1
+        best_acc1 = max(acc1, best_acc1)
+        mgr.save(args.epochs, state, acc1, best_acc1, is_best=is_best)
+        if jax.process_index() == 0:
+            print(f"bn-recalibrated: acc1={acc1:.3f} acc5={acc5:.3f} "
+                  f"best={best_acc1:.3f}{' *' if is_best else ''}",
+                  flush=True)
     # Shared shutdown for BOTH the normal end and the preemption break:
     # an in-flight async step checkpoint must finish (not be killed
     # mid-write), and buffered TensorBoard/trace tails must flush.
