@@ -113,8 +113,9 @@ class Trainer:
             step_fn = make_local_bn_train_step(
                 model, tx, label_smoothing, mesh=self.mesh
             )
-        # Tuned XLA:TPU compile options (utils/xla_options.py) — the
-        # short-transfer chunking fix measured +9-14% on the train step.
+        # Tuned XLA:TPU compile options (utils/xla_options.py): +0.7% train /
+        # +7-11% infer, drift-robust r04 measurements (BASELINE.md "the
+        # estimator artifact" — the early +14% train claim did not survive).
         self._train_step = jax.jit(
             step_fn,
             donate_argnums=(0,),

@@ -39,17 +39,28 @@ class GratingDataset:
     filters, high enough to be separable."""
 
     def __init__(self, length: int, image_size: int, num_classes: int = 10,
-                 seed: int = 0):
+                 seed: int = 0, cache: bool = False):
         self.length = length
         self.image_size = image_size
         self.num_classes = num_classes
         self.seed = seed
         self.classes = [f"grating_{i}" for i in range(num_classes)]
+        # Samples are deterministic per (seed, index) — identical every
+        # epoch — so the uint8 render can be memoized. For the long
+        # production-decay rehearsal (hundreds of epochs) the numpy grating
+        # synthesis dominates wall clock; caching turns epochs 2..N into
+        # pure transform+step time. ~77 KB/image → ~320 MB for 4,096 @128.
+        self._cache: dict | None = {} if cache else None
 
     def __len__(self):
         return self.length
 
     def load(self, index: int):
+        if self._cache is not None:
+            hit = self._cache.get(index)
+            if hit is not None:
+                arr, label = hit
+                return Image.fromarray(arr), label
         rng = np.random.default_rng((self.seed, index))
         s = self.image_size + 32
         label = index % self.num_classes
@@ -65,9 +76,10 @@ class GratingDataset:
         ], dtype=np.float32)
         img = 127.5 + 45.0 * wave[..., None] * tint[None, None, :]
         img = img + rng.uniform(-60, 60, (s, s, 3))
-        return Image.fromarray(
-            np.clip(img, 0, 255).astype(np.uint8)
-        ), label
+        arr = np.clip(img, 0, 255).astype(np.uint8)
+        if self._cache is not None:
+            self._cache[index] = (arr, label)
+        return Image.fromarray(arr), label
 
 
 def main():
@@ -96,12 +108,26 @@ def main():
                          "catch-up trajectory is observable "
                          "(CONVERGENCE_r04_prod.json rehearsal)")
     ap.add_argument("--warmup-epochs", type=float, default=1.0)
+    ap.add_argument("--bn-recalibrate", action="store_true",
+                    help="after training, ALSO score eval-mode with exact "
+                         "recalibrated BN stats (train/bn_recal.py, one "
+                         "epoch of train batches) — recorded as "
+                         "val_top1_recal next to the natural-EMA columns; "
+                         "the production remedy when the run is shorter "
+                         "than the 0.9997 catch-up horizon")
     ap.add_argument("--eval-every", type=int, default=1,
                     help="run the (expensive) eval-mode re-scores every N "
                          "epochs — for the long production-decay rehearsal "
                          "(--bn-momentum 0.9997, >=2k steps) where scoring "
                          "val+train each epoch would dominate wall clock; "
                          "the last epoch is always scored")
+    ap.add_argument("--train-rescore-size", type=int, default=0,
+                    help="cap the eval-mode train-set re-score to the first "
+                         "N samples through the EVAL transform (0 = score "
+                         "the full train set through the augmented train "
+                         "loader, the short-smoke behavior. For long "
+                         "rehearsals a 2k-sample clean re-score tracks the "
+                         "catch-up trajectory at 1/8 the dispatches)")
     args = ap.parse_args()
 
     import jax
@@ -126,8 +152,11 @@ def main():
     model = create_model(args.arch, num_classes=10, dtype=dtype,
                          bn_momentum=args.bn_momentum, bn_ema="external")
 
-    train_ds = GratingDataset(args.train_size, args.image_size, seed=1)
-    val_ds = GratingDataset(args.val_size, args.image_size, seed=2)
+    cache = args.epochs > 16  # long rehearsals re-read every index 100s of times
+    train_ds = GratingDataset(args.train_size, args.image_size, seed=1,
+                              cache=cache)
+    val_ds = GratingDataset(args.val_size, args.image_size, seed=2,
+                            cache=cache)
     train_loader = DataLoader(
         train_ds, args.batch_size,
         lambda img, rng: train_transform(img, args.image_size, rng),
@@ -139,6 +168,19 @@ def main():
         shuffle=False, drop_last=False, seed=0, workers=args.workers,
         augment=False,
     )
+    if args.train_rescore_size:
+        rescore_ds = GratingDataset(
+            min(args.train_rescore_size, args.train_size), args.image_size,
+            seed=1, cache=cache,  # seed=1 → the same images the train set holds
+        )
+        rescore_loader = DataLoader(
+            rescore_ds, args.batch_size,
+            lambda img: eval_transform(img, args.image_size),
+            shuffle=False, drop_last=False, seed=0, workers=args.workers,
+            augment=False,
+        )
+    else:
+        rescore_loader = train_loader
 
     steps_per_epoch = train_loader.steps_per_epoch()
     base_lr = 0.016 if args.optimizer == "rmsprop" else 0.1
@@ -176,10 +218,19 @@ def main():
                 state, val_loader, verbose=False,
                 params_override=get_ema_params(state.opt_state),
             )
-        tr1, tr5, trloss = trainer.validate(state, train_loader, verbose=False)
+        tr1, tr5, trloss = trainer.validate(state, rescore_loader,
+                                            verbose=False)
+        step_now = (epoch + 1) * steps_per_epoch
         curve.append({
             **raw_note,
             "epoch": epoch,
+            "step": step_now,
+            # Fraction of the BN running stats still carrying the (0, 1)
+            # init — decay^steps. Eval-mode scores cannot be trusted until
+            # this is ≪ 1 (it compounds through ~50 BN layers); at the
+            # production decay 0.9997 that takes ~10-15k steps, which is
+            # the physics the prod rehearsal exists to demonstrate.
+            "bn_init_retention": round(args.bn_momentum ** step_now, 6),
             # Training-mode curve (batch-stats BN): the honest optimization
             # trajectory — this is what must stay O(ln C) early.
             "train_loss": tstats["loss"], "train_top1": tstats["top1"],
@@ -198,7 +249,28 @@ def main():
               f"({time.time()-t0:.0f}s)", flush=True)
 
     final = curve[-1]
+    recal_note = {}
+    if args.bn_recalibrate:
+        from mnasnet_tpu.train.bn_recal import recalibrate_bn
+
+        rstate = state.replace(batch_stats=recalibrate_bn(
+            model, state.params, state.batch_stats, train_loader,
+            mesh=trainer.mesh, compute_dtype=dtype,
+        ))
+        r1, _, rloss = trainer.validate(rstate, val_loader, verbose=False)
+        recal_note = {"val_top1_recal": round(r1, 3),
+                      "val_loss_recal": round(rloss, 4)}
+        if args.model_ema:
+            from mnasnet_tpu.train.optim import get_ema_params
+
+            re1, _, _ = trainer.validate(
+                rstate, val_loader, verbose=False,
+                params_override=get_ema_params(rstate.opt_state),
+            )
+            recal_note["val_top1_recal_ema"] = round(re1, 3)
+        print(f"[smoke] bn-recalibrated val_top1={r1:.2f}", flush=True)
     result = {
+        **recal_note,
         "task": "class-conditional gratings (10 classes, learnable)",
         "config": {k: v for k, v in vars(args).items() if k != "json"},
         "recipe": {
@@ -218,9 +290,18 @@ def main():
         "curve": curve,
         # train_top1 is eval-mode over the AUGMENTED train pipeline (RRC can
         # shift the grating scale out of the learned band), so the clean val
-        # top-1 also satisfies the target.
-        "reached_target": max(final["train_top1"],
-                              final["val_top1"]) >= args.target_top1,
+        # top-1 also satisfies the target. Under the PRODUCTION BN decay
+        # (>= 0.999) the eval-mode catch-up IS the experiment, so the
+        # train-mode column may not stand in for it: reached_target then
+        # requires the eval-mode val score itself. (The r04 prod rehearsal's
+        # first cut let train-mode 100% mask an at-chance eval column —
+        # exactly the red-labeled-green artifact class round 3 flagged.)
+        "reached_target_evalmode": final["val_top1"] >= args.target_top1,
+        "reached_target": (
+            final["val_top1"] >= args.target_top1
+            if args.bn_momentum >= 0.999
+            else max(final["train_top1"],
+                     final["val_top1"]) >= args.target_top1),
         "wall_seconds": round(time.time() - t0, 1),
         "backend": jax.default_backend(),
     }
