@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import os
 import sys
 import time
@@ -76,6 +77,8 @@ def main():
         "remote-compile tunnel (invalid names raise from the remote "
         "compile helper — validated round 3).",
     )
+    p.add_argument("--out", default=None,
+                   help="also write the rows as a JSON artifact")
     args = p.parse_args()
     compiler_options = (
         __import__("json").loads(args.compiler_options)
@@ -91,6 +94,8 @@ def main():
     from mnasnet_tpu.train.optim import create_optimizer
     from mnasnet_tpu.train.state import TrainState
     from mnasnet_tpu.train.steps import make_train_step
+
+    rows = []
 
     def slope(f_lo, f_hi):
         jax.block_until_ready(f_lo())
@@ -147,6 +152,20 @@ def main():
             t = slope(make_chain(args.iters_lo), make_chain(args.iters_hi))
             print(f"bs={bs:4} {name:6} {t*1e3:7.3f} ms/step  {bs/t:9,.0f} img/s",
                   flush=True)
+            rows.append({"batch": bs, "variant": name,
+                         "ms_per_step": round(t * 1e3, 3),
+                         "img_s": round(bs / t)})
+            if args.out:
+                with open(args.out, "w") as f:
+                    json.dump({
+                        "arch": args.arch,
+                        "image_size": args.image_size,
+                        "method": f"two-point slope fori_loop chains, "
+                                  f"min-of-{args.repeats} (sequential)",
+                        "compiler_options": compiler_options,
+                        "rows": rows,
+                    }, f, indent=1)
+                    f.write("\n")
 
 
 if __name__ == "__main__":
