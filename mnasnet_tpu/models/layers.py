@@ -53,8 +53,15 @@ class PointwiseConv(nn.Module):
     features: int
     dtype: Any = None
     precision: Any = None
-    # Lowering choice: "conv" (conv_general_dilated) or "dot" (dot_general
-    # over the channel axis — a plain MXU matmul, different XLA emitter).
+    # Lowering choice: "conv" (conv_general_dilated), "dot" (dot_general
+    # over the channel axis — a plain MXU matmul, different XLA emitter),
+    # or "auto" (per-mode measured-fastest: conv when train, dot when
+    # eval). Measured on the v5e (BASELINE.md round-4 infer campaign):
+    # dot lowering is +3% on the bs128 infer step — the (N·H·W, C)
+    # matmul view tiles the narrow-channel projections slightly better
+    # than the conv emitter — while the train-side dot wgrad was measured
+    # negative in the round-2 campaign. The kernel param is identical
+    # either way, so checkpoints are lowering-agnostic.
     lowering: str = "conv"
 
     def setup(self):
@@ -63,8 +70,11 @@ class PointwiseConv(nn.Module):
             (1, 1, self.in_ch, self.features), jnp.float32,
         )
 
-    def __call__(self, x: jax.Array) -> jax.Array:
-        if self.lowering == "dot":
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        lowering = self.lowering
+        if lowering == "auto":
+            lowering = "conv" if train else "dot"
+        if lowering == "dot":
             return jax.lax.dot_general(
                 x, self.kernel[0, 0].astype(x.dtype),
                 (((3,), (0,)), ((), ())),

@@ -159,7 +159,7 @@ class InvertedResidual(nn.Module):
                 stride=self.stride,
                 residual=self.apply_residual,
             )
-        y = self.expand_conv(x)
+        y = self.expand_conv(x, train)
         region = train and self.bn_bwd == "pallas_region"
         if region:
             y = self.expand_bn.relu_train_region(y)
@@ -181,7 +181,7 @@ class InvertedResidual(nn.Module):
                 y = self.dw_bn.relu_train_region(y)
             else:
                 y = nn.relu(self.dw_bn(y, use_running_average=not train))
-        y = self.project_conv(y)
+        y = self.project_conv(y, train)
         y = self.project_bn(y, use_running_average=not train)  # linear bottleneck
         if self.apply_residual:
             y = y + x

@@ -18,6 +18,24 @@ import sys
 from typing import Optional
 
 
+def apply_jax_platforms_env() -> None:
+    """Make the ``JAX_PLATFORMS`` env var work despite eager plugin init.
+
+    The axon deployment's sitecustomize imports jax at interpreter start
+    and pins ``jax_platforms`` to the TPU plugin, so by the time user code
+    runs, ``JAX_PLATFORMS=cpu python tool.py`` has silently NOT selected
+    CPU — the tool grabs the real TPU (and deadlocks behind whatever is
+    using it; observed with train_smoke.py vs a running sweep). Call this
+    right after ``import jax`` in any CLI tool that should honor the env
+    var; tests/conftest.py applies the same override for the suite.
+    """
+    import jax
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        jax.config.update("jax_platforms", env)
+
+
 def default_backend_device_count(
     timeout_s: int = 300, cwd: Optional[str] = None
 ) -> Optional[int]:

@@ -193,6 +193,44 @@ def test_stem_s2d_exact_equivalence():
     assert y_odd.shape == (2, 1000)
 
 
+def test_pw_lowering_dot_equivalence_and_auto_routing():
+    """PointwiseConv lowering (models/layers.py): 'dot' computes the same
+    1×1 conv as 'conv' on the SAME params (the (1,1,Cin,Cout) kernel is
+    lowering-agnostic, so checkpoints transfer), and 'auto' resolves to
+    conv in train mode / dot in eval mode — the per-mode measured-fastest
+    routing (BASELINE.md round-4 infer campaign: dot +3% on the bs128
+    infer step; train-side dot wgrad measured negative in round 2)."""
+    import numpy as np
+
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 32, 32, 3)).astype(np.float32)
+    )
+    m_conv = create_model("mnasnet0_35", precision="highest")
+    v = m_conv.init(jax.random.PRNGKey(0), x, train=False)
+    m_dot = create_model("mnasnet0_35", precision="highest",
+                         pw_lowering="dot")
+    m_auto = create_model("mnasnet0_35", precision="highest",
+                          pw_lowering="auto")
+
+    # eval mode: dot ≈ conv (same math, different reduction order) and
+    # auto ≡ dot (bitwise — same graph).
+    y_conv = np.asarray(m_conv.apply(v, x, train=False))
+    y_dot = np.asarray(m_dot.apply(v, x, train=False))
+    np.testing.assert_allclose(y_conv, y_dot, atol=3e-4, rtol=1e-4)
+    np.testing.assert_array_equal(
+        y_dot, np.asarray(m_auto.apply(v, x, train=False)))
+
+    # train mode: auto ≡ conv (bitwise — same graph).
+    rngs = {"dropout": jax.random.PRNGKey(1)}
+    y0, s0 = m_conv.apply(v, x, train=True, mutable=["batch_stats"],
+                          rngs=rngs)
+    y1, s1 = m_auto.apply(v, x, train=True, mutable=["batch_stats"],
+                          rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_count_macs_published_grid():
     """Analytic MAC counter against the verified grid (SURVEY.md §2.1)."""
     from mnasnet_tpu.models.mnasnet import count_macs

@@ -133,6 +133,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mnasnet_tpu.utils.backend_probe import apply_jax_platforms_env
+
+    apply_jax_platforms_env()  # let JAX_PLATFORMS=cpu actually mean cpu
+
     from mnasnet_tpu import create_model
     from mnasnet_tpu.data.pipeline import DataLoader
     from mnasnet_tpu.data.transforms import eval_transform, train_transform
@@ -199,6 +203,59 @@ def main():
 
     curve = []
     t0 = time.time()
+
+    def dump_artifact(recal_note: dict, completed: bool) -> dict:
+        # Called after EVERY eval point, not just at the end: a long
+        # rehearsal killed by a timeout/preemption keeps its curve on disk
+        # (the r04 prod rehearsal lost 67 epochs to exactly this).
+        # `completed: false` marks the artifact as a partial record whose
+        # reached_target reflects only the curve so far.
+        final = curve[-1]
+        result = {
+            **recal_note,
+            "task": "class-conditional gratings (10 classes, learnable)",
+            "config": {k: v for k, v in vars(args).items() if k != "json"},
+            "recipe": {
+                "label_smoothing": 0.1, "bn_ema": args.bn_momentum,
+                "bn_ema_note": (
+                    "production decay (eval-mode stats need ~2-5k steps to "
+                    "catch up — the catch-up trajectory is the point of this "
+                    "artifact)" if args.bn_momentum >= 0.999 else
+                    "production decay is 0.9997; the faster EMA here "
+                    "converges within a short smoke (same machinery)"),
+                "wd": "1e-5 masked off BN/bias",
+                "warmup_epochs": args.warmup_epochs,
+                "optimizer_semantics": "TF rmsprop (eps inside sqrt)"
+                if args.optimizer == "rmsprop" else "torch sgd+momentum",
+            },
+            "total_steps": args.epochs * steps_per_epoch,
+            "completed": completed,
+            "curve": curve,
+            # train_top1 is eval-mode over the AUGMENTED train pipeline (RRC
+            # can shift the grating scale out of the learned band), so the
+            # clean val top-1 also satisfies the target. Under the PRODUCTION
+            # BN decay (>= 0.999) the eval-mode catch-up IS the experiment,
+            # so the train-mode column may not stand in for it: reached_target
+            # then requires the eval-mode val score itself. (The r04 prod
+            # rehearsal's first cut let train-mode 100% mask an at-chance
+            # eval column — exactly the red-labeled-green artifact class
+            # round 3 flagged.)
+            "reached_target_evalmode": final["val_top1"] >= args.target_top1,
+            "reached_target": (
+                final["val_top1"] >= args.target_top1
+                if args.bn_momentum >= 0.999
+                else max(final["train_top1"],
+                         final["val_top1"]) >= args.target_top1),
+            "wall_seconds": round(time.time() - t0, 1),
+            "backend": jax.default_backend(),
+        }
+        tmp = args.json + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, args.json)
+        return result
+
     for epoch in range(args.epochs):
         state = trainer.train_epoch(state, train_loader, epoch)
         diag = {k: round(v, 4) for k, v in trainer.epoch_diag.items()}
@@ -247,6 +304,7 @@ def main():
               f"max|logit|={diag.get('max_max_abs_logit', 0):.1f} "
               f"gnorm={diag.get('max_grad_norm', 0):.2f} "
               f"({time.time()-t0:.0f}s)", flush=True)
+        dump_artifact({}, completed=False)
 
     final = curve[-1]
     recal_note = {}
@@ -269,44 +327,7 @@ def main():
             )
             recal_note["val_top1_recal_ema"] = round(re1, 3)
         print(f"[smoke] bn-recalibrated val_top1={r1:.2f}", flush=True)
-    result = {
-        **recal_note,
-        "task": "class-conditional gratings (10 classes, learnable)",
-        "config": {k: v for k, v in vars(args).items() if k != "json"},
-        "recipe": {
-            "label_smoothing": 0.1, "bn_ema": args.bn_momentum,
-            "bn_ema_note": (
-                "production decay (eval-mode stats need ~2-5k steps to "
-                "catch up — the catch-up trajectory is the point of this "
-                "artifact)" if args.bn_momentum >= 0.999 else
-                "production decay is 0.9997; the faster EMA here converges "
-                "within a short smoke (same machinery)"),
-            "wd": "1e-5 masked off BN/bias",
-            "warmup_epochs": args.warmup_epochs,
-            "optimizer_semantics": "TF rmsprop (eps inside sqrt)"
-            if args.optimizer == "rmsprop" else "torch sgd+momentum",
-        },
-        "total_steps": args.epochs * steps_per_epoch,
-        "curve": curve,
-        # train_top1 is eval-mode over the AUGMENTED train pipeline (RRC can
-        # shift the grating scale out of the learned band), so the clean val
-        # top-1 also satisfies the target. Under the PRODUCTION BN decay
-        # (>= 0.999) the eval-mode catch-up IS the experiment, so the
-        # train-mode column may not stand in for it: reached_target then
-        # requires the eval-mode val score itself. (The r04 prod rehearsal's
-        # first cut let train-mode 100% mask an at-chance eval column —
-        # exactly the red-labeled-green artifact class round 3 flagged.)
-        "reached_target_evalmode": final["val_top1"] >= args.target_top1,
-        "reached_target": (
-            final["val_top1"] >= args.target_top1
-            if args.bn_momentum >= 0.999
-            else max(final["train_top1"],
-                     final["val_top1"]) >= args.target_top1),
-        "wall_seconds": round(time.time() - t0, 1),
-        "backend": jax.default_backend(),
-    }
-    with open(args.json, "w") as f:
-        json.dump(result, f, indent=1)
+    result = dump_artifact(recal_note, completed=True)
     print(json.dumps({k: result[k] for k in
                       ("reached_target", "wall_seconds")}))
     print(f"wrote {args.json}: final train_top1={final['train_top1']} "
