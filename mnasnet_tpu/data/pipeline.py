@@ -31,8 +31,11 @@ import numpy as np
 
 # Debug/verification hook: when set, every batch the loader YIELDS is
 # appended to this path as one JSON line {epoch, batch, indices, n_valid}
-# (indices = dataset indices pre-padding; n_valid = real samples in a padded
-# tail, null for full batches). Used by tools/multihost_data.py to prove the
+# (indices = the batch AS YIELDED, so a padded tail batch INCLUDES its
+# wrap-padding indices; n_valid = real samples in a padded tail, null for
+# full batches — consumers must slice indices[:n_valid], as
+# tools/multihost_data.py and the tests do, or they double-count the
+# wrapped samples). Used by tools/multihost_data.py to prove the
 # DistributedSampler contract on real on-disk data: the union of valid
 # indices across all hosts' logs covers every sample exactly once per epoch
 # (SURVEY.md §2.3 N8 "per-host sharding"). Off (no overhead) unless set.

@@ -219,9 +219,17 @@ class MNASNet(nn.Module):
     # short runs/tests can use a faster EMA — 0.9997 needs ~10k steps before
     # eval-mode stats are meaningful).
     bn_momentum: float = 0.9997
-    # 1x1-conv lowering inside MBConv blocks: "conv" or "dot" (MXU matmul
-    # via dot_general — a different XLA emitter; A/B-able per chip).
-    pw_lowering: str = "conv"
+    # 1x1-conv lowering inside MBConv blocks: "conv" (conv_general_dilated),
+    # "dot" (MXU matmul via dot_general — a different XLA emitter), or
+    # "auto" (default): conv in training mode, dot in eval mode — the
+    # per-mode measured-fastest on the v5e (dot is +3% on the bs128 infer
+    # step, the (N·H·W,C)-matmul view tiles the narrow-C_out projections
+    # better than the conv emitter — INFER_PROFILE_r04.json — while the
+    # train-side dot wgrad measured negative in the round-2 campaign).
+    # Checkpoints are lowering-agnostic (identical kernel param), and the
+    # lowering is mode-static under jit ("train" is a Python bool at trace
+    # time), so "auto" costs nothing. Equivalence: tests/test_model.py.
+    pw_lowering: str = "auto"
     # Space-to-depth stem: rewrite the 3x3/s2 RGB stem conv as an exactly
     # equivalent 2x2/s1 conv on a 2x2-block-flattened (H/2, W/2, 12) input.
     # C=3 inputs waste almost the whole 128-lane axis on TPU; packing 4

@@ -27,8 +27,9 @@ elements — an O(1/n) ≤ 2e-4 relative mismatch at production batch sizes,
 orders below BN ε and the ±0.2% top-1 budget.
 
 Feed this a ``drop_last`` loader (train.py wires its train loader): a padded
-tail batch would fold the zero padding into the statistics — there is no
-validity mask inside BN, exactly as in the reference's update_bn.
+tail batch would fold its wrap-padding duplicates into the statistics —
+there is no validity mask inside BN, exactly as in the reference's
+update_bn. :func:`recalibrate_bn` rejects non-drop_last loaders loudly.
 """
 
 from __future__ import annotations
@@ -116,6 +117,17 @@ def recalibrate_bn(
     over the mesh with the batch axis sharded — multi-host/multi-chip runs
     recalibrate with GLOBAL statistics for free.
     """
+    # Loud guard for the docstring contract (ADVICE r4): a non-drop_last
+    # loader wrap-pads its tail batch and the padding would fold silently
+    # into the pooled moments — labels (the -1 sentinel) are discarded here,
+    # so nothing downstream would catch it.
+    if not getattr(loader, "drop_last", True):
+        raise ValueError(
+            "recalibrate_bn needs a drop_last loader: a wrap-padded tail "
+            "batch would fold padding into the pooled statistics (there is "
+            "no validity mask inside BN). Rebuild the loader with "
+            "drop_last=True, as train.py's train loader does."
+        )
     mesh = mesh if mesh is not None else make_mesh()
     repl = replicated(mesh)
     step = jax.jit(

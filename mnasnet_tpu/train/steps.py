@@ -20,6 +20,34 @@ from jax.sharding import PartitionSpec as P
 from mnasnet_tpu.train.loss import cross_entropy, topk_correct
 from mnasnet_tpu.train.state import TrainState
 
+# Measured conv-emitter cliff on this backend: the bs128→bs256 train step
+# loses ~14% img/s to a conv tiling regression no compile option recovers
+# (SWEEP_XLAFLAGS_BS256_r04.json), while accumulating two bs128 microbatches
+# beats the direct bs256 step by 11% (ACCUM_OVERHEAD_r04.json: 8,095 vs
+# 7,288 img/s at global 256). Per-chip microbatches therefore default to
+# ≤128 via grad accumulation.
+MICROBATCH_LIMIT = 128
+
+
+def auto_grad_accum(per_chip_batch: int, limit: int = MICROBATCH_LIMIT) -> int:
+    """Accumulation factor for ``--grad-accum auto`` (train.py).
+
+    Smallest K that (a) divides ``per_chip_batch`` and (b) brings the
+    per-chip microbatch to ≤ ``limit`` — sidestepping the measured bs>128
+    conv-emitter cliff (module constant above). Returns 1 when the batch
+    already fits, or when no divisor exists without over-splitting
+    (microbatch < limit/2 — e.g. a prime per-chip batch): an odd batch size
+    is an explicit user choice, and K microbatches of ~1 sample would cost
+    far more than the cliff.
+    """
+    if per_chip_batch <= limit:
+        return 1
+    k0 = -(-per_chip_batch // limit)  # ceil
+    for k in range(k0, 2 * k0 + 1):
+        if per_chip_batch % k == 0:
+            return k
+    return 1
+
 
 def fused_ema_stats(old_stats, batch_stats, decay: float):
     """Apply ``new = decay·old + (1−decay)·batch`` over the WHOLE stats tree

@@ -17,7 +17,7 @@ each resulting executable, and reports the distribution. If it is bimodal
 
 Usage: python tools/compile_lottery.py --mode infer --n 8 \
            [--options '{"xla_tpu_scoped_vmem_limit_kib": "65536"}'] \
-           [--out COMPILE_LOTTERY_r04.json]
+           [--out COMPILE_LOTTERY_INFER_r04.json]
 """
 
 from __future__ import annotations

@@ -10,7 +10,7 @@ artifact on any backend, and at production shapes that would OOM if run.
 
 Usage:
     python tools/memory_probe.py [--arch mnasnet1_0] [--image-size 224]
-        [--batch-size 128] [--accums 1,2,4,8] [--out MEMORY_r03.json]
+        [--batch-size 128] [--accums 1,2,4,8] [--out memory_probe.json]
 
 Run on the TPU backend for the real HBM numbers (the CPU backend compiles
 the same HLO but assigns host buffers; relative scaling is still

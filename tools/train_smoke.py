@@ -106,15 +106,21 @@ def main():
                          "within a ~300-step smoke; 0.9997 is the production "
                          "constant — use with >=2k steps so the eval-mode "
                          "catch-up trajectory is observable "
-                         "(CONVERGENCE_r04_prod.json rehearsal)")
+                         "(CONVERGENCE_r05_prod.json rehearsal)")
     ap.add_argument("--warmup-epochs", type=float, default=1.0)
     ap.add_argument("--bn-recalibrate", action="store_true",
-                    help="after training, ALSO score eval-mode with exact "
-                         "recalibrated BN stats (train/bn_recal.py, one "
-                         "epoch of train batches) — recorded as "
-                         "val_top1_recal next to the natural-EMA columns; "
-                         "the production remedy when the run is shorter "
-                         "than the 0.9997 catch-up horizon")
+                    help="score eval-mode with exact recalibrated BN stats "
+                         "(train/bn_recal.py) at EVERY eval point — recorded "
+                         "as val_top1_recal next to the natural-EMA columns, "
+                         "proving the remedy snaps eval-mode to train-mode "
+                         "long before the 0.9997 EMA catches up naturally. "
+                         "Mid-run points recalibrate over a 32-batch slice "
+                         "(4k images — moments over ~10^7 elements/channel); "
+                         "the final point uses the full train epoch. Stats "
+                         "are paired with the params being scored: with "
+                         "--model-ema the column recalibrates WITH the EMA "
+                         "weights (stats from raw weights mis-normalize the "
+                         "EMA model — ADVICE r4)")
     ap.add_argument("--eval-every", type=int, default=1,
                     help="run the (expensive) eval-mode re-scores every N "
                          "epochs — for the long production-decay rehearsal "
@@ -201,6 +207,45 @@ def main():
     )
     state = trainer.create_state(jax.random.PRNGKey(0), args.image_size)
 
+    def recal_scores(state, num_batches, tag=""):
+        """val top-1 with exact recalibrated BN stats, stats paired with the
+        params actually scored (raw→raw; EMA→stats recomputed under the EMA
+        weights — the ADVICE-r4 pairing). Returns a curve-note dict."""
+        from mnasnet_tpu.train.bn_recal import recalibrate_bn
+
+        note = {}
+        stats_raw = recalibrate_bn(
+            model, state.params, state.batch_stats, train_loader,
+            mesh=trainer.mesh, compute_dtype=dtype,
+            num_batches=num_batches, verbose=False,
+        )
+        r1, _, rloss = trainer.validate(
+            state.replace(batch_stats=stats_raw), val_loader, verbose=False)
+        if args.model_ema:
+            from mnasnet_tpu.train.optim import get_ema_params
+
+            ema_params = get_ema_params(state.opt_state)
+            stats_ema = recalibrate_bn(
+                model, ema_params, state.batch_stats, train_loader,
+                mesh=trainer.mesh, compute_dtype=dtype,
+                num_batches=num_batches, verbose=False,
+            )
+            e1, _, eloss = trainer.validate(
+                state.replace(batch_stats=stats_ema), val_loader,
+                verbose=False, params_override=ema_params,
+            )
+            # Headline column = the params the headline val_top1 scores
+            # (EMA when --model-ema), each with ITS OWN recalibrated stats.
+            note = {"val_top1_recal": round(e1, 3),
+                    "val_loss_recal": round(eloss, 4),
+                    "val_top1_recal_raw": round(r1, 3)}
+        else:
+            note = {"val_top1_recal": round(r1, 3),
+                    "val_loss_recal": round(rloss, 4)}
+        print(f"[smoke] bn-recal{tag}: val_top1_recal="
+              f"{note['val_top1_recal']:.2f}", flush=True)
+        return note
+
     curve = []
     t0 = time.time()
 
@@ -277,9 +322,14 @@ def main():
             )
         tr1, tr5, trloss = trainer.validate(state, rescore_loader,
                                             verbose=False)
+        recal_cols = {}
+        if args.bn_recalibrate and epoch != args.epochs - 1:
+            recal_cols = recal_scores(state, num_batches=32,
+                                      tag=f" @epoch {epoch}")
         step_now = (epoch + 1) * steps_per_epoch
         curve.append({
             **raw_note,
+            **recal_cols,
             "epoch": epoch,
             "step": step_now,
             # Fraction of the BN running stats still carrying the (0, 1)
@@ -306,27 +356,14 @@ def main():
               f"({time.time()-t0:.0f}s)", flush=True)
         dump_artifact({}, completed=False)
 
-    final = curve[-1]
     recal_note = {}
     if args.bn_recalibrate:
-        from mnasnet_tpu.train.bn_recal import recalibrate_bn
-
-        rstate = state.replace(batch_stats=recalibrate_bn(
-            model, state.params, state.batch_stats, train_loader,
-            mesh=trainer.mesh, compute_dtype=dtype,
-        ))
-        r1, _, rloss = trainer.validate(rstate, val_loader, verbose=False)
-        recal_note = {"val_top1_recal": round(r1, 3),
-                      "val_loss_recal": round(rloss, 4)}
-        if args.model_ema:
-            from mnasnet_tpu.train.optim import get_ema_params
-
-            re1, _, _ = trainer.validate(
-                rstate, val_loader, verbose=False,
-                params_override=get_ema_params(rstate.opt_state),
-            )
-            recal_note["val_top1_recal_ema"] = round(re1, 3)
-        print(f"[smoke] bn-recalibrated val_top1={r1:.2f}", flush=True)
+        # Final point: full-epoch exact recal (mid-run points used a
+        # 32-batch slice). Folded into the last curve row so the artifact's
+        # recal column is complete, and surfaced at top level too.
+        recal_note = recal_scores(state, num_batches=None, tag=" (final)")
+        curve[-1].update(recal_note)
+    final = curve[-1]
     result = dump_artifact(recal_note, completed=True)
     print(json.dumps({k: result[k] for k in
                       ("reached_target", "wall_seconds")}))

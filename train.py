@@ -94,13 +94,18 @@ def parse_args(argv=None):
                         "and evaluate/track-best on it (the TF MnasNet "
                         "recipe's moving_average_decay=0.9999, with the "
                         "num_updates warmup ramp); 0 disables")
-    p.add_argument("--grad-accum", type=int, default=1, metavar="K",
+    p.add_argument("--grad-accum", type=int, default=0, metavar="K",
                    help="accumulate gradients over K sequential microbatches "
                         "inside one compiled step (one optimizer update per "
                         "--batch-size samples; activation memory scales with "
                         "batch-size/K). Per-microbatch BN statistics, like "
                         "DDP; requires --batch-size divisible by K and "
-                        "--fused-updates (external BN EMA)")
+                        "--fused-updates (external BN EMA). 0 (default) = "
+                        "auto: on TPU, pick the smallest K keeping the "
+                        "per-chip microbatch ≤128 — the measured conv-"
+                        "emitter cliff where accum2 beats the direct bs256 "
+                        "step by 11%% (ACCUM_OVERHEAD_r04.json); 1 forces "
+                        "the direct step")
     p.add_argument("--on-preempt", choices=["save", "ignore"], default="save",
                    help="SIGTERM behavior (TPU-pod maintenance/preemption "
                         "events): 'save' finishes the in-flight step, writes "
@@ -252,6 +257,24 @@ def _check_preempt_meta(pre_dir: str, spe: int) -> None:
             f"steps_per_epoch={spe}. Mid-epoch resume needs the same "
             "batch size and dataset — rerun with the original settings."
         )
+
+
+def resolve_auto_grad_accum(batch_size: int, batch_shards: int,
+                            backend: str, *, sync_bn: bool,
+                            fused_updates: bool) -> int:
+    """``--grad-accum 0`` (auto) resolution: keep the per-chip microbatch
+    ≤128 — the measured conv-emitter cliff where accumulating bs128
+    microbatches beats the direct step by 11% at global batch 256
+    (ACCUM_OVERHEAD_r04.json; selection math in
+    train/steps.auto_grad_accum). Only on TPU backends (the cliff is this
+    backend's physics) and only when the accum prerequisites hold: a user
+    who explicitly disabled sync-bn / fused-updates gets the direct step."""
+    from mnasnet_tpu.train.steps import auto_grad_accum
+
+    if (backend in ("tpu", "axon") and sync_bn and fused_updates
+            and batch_size % batch_shards == 0):
+        return auto_grad_accum(batch_size // batch_shards)
+    return 1
 
 
 def main(argv=None):
@@ -412,6 +435,21 @@ def main(argv=None):
             raise SystemExit(f"--batch-size {args.batch_size} not divisible "
                              f"by --grad-accum {args.grad_accum}")
     mesh = make_mesh(dcn=args.mesh_dcn)
+    if args.grad_accum == 0:
+        batch_shards = mesh.shape["data"] * mesh.shape.get("dcn", 1)
+        args.grad_accum = resolve_auto_grad_accum(
+            args.batch_size, batch_shards, jax.default_backend(),
+            sync_bn=args.sync_bn, fused_updates=args.fused_updates,
+        )
+        if args.grad_accum > 1 and jax.process_index() == 0:
+            print(f"=> --grad-accum auto: per-chip batch "
+                  f"{args.batch_size // batch_shards} > 128 — accumulating "
+                  f"over {args.grad_accum} microbatches (measured +11% at "
+                  f"global 256 vs the direct step; --grad-accum 1 forces "
+                  f"direct)", flush=True)
+    elif args.grad_accum < 0:
+        raise SystemExit(f"--grad-accum {args.grad_accum} invalid "
+                         "(0 = auto, >=1 explicit)")
     trainer = Trainer(
         model, tx, mesh=mesh, label_smoothing=args.label_smoothing,
         compute_dtype=dtype, schedule=schedule, print_freq=args.print_freq,
@@ -666,28 +704,42 @@ def main(argv=None):
         # — then re-validate and persist as the post-training checkpoint
         # (epoch index = args.epochs, one past the last training epoch, so
         # both the raw final and the recalibrated final are kept).
+        #
+        # Stats are paired with the params actually scored (ADVICE r4; the
+        # reference pattern, torch.optim.swa_utils.update_bn, refreshes the
+        # stats of the model it evaluates): with --model-ema the headline
+        # score, best-tracking, and deployment all use the EMA shadow, so
+        # the recal forwards run UNDER the EMA weights — raw-weight stats
+        # would mis-normalize the EMA model exactly when the flag matters
+        # (short runs/fine-tunes, where raw and EMA diverge most). The
+        # saved checkpoint therefore carries batch_stats paired with the
+        # EMA shadow in its opt_state (the model a user deploys); without
+        # --model-ema they pair with state.params as before.
         from mnasnet_tpu.train.bn_recal import recalibrate_bn
 
+        recal_params = state.params
+        ema_note = ""
+        if args.model_ema:
+            from mnasnet_tpu.train.optim import get_ema_params
+
+            recal_params = get_ema_params(state.opt_state)
+            ema_note = " (ema weights, ema-paired stats)"
         state = state.replace(batch_stats=recalibrate_bn(
-            model, state.params, state.batch_stats, train_loader,
+            model, recal_params, state.batch_stats, train_loader,
             mesh=trainer.mesh, num_batches=args.bn_recalibrate,
             compute_dtype=trainer.compute_dtype,
             verbose=jax.process_index() == 0,
         ))
-        acc1, acc5, _ = trainer.validate(state, val_loader)
-        if args.model_ema:
-            from mnasnet_tpu.train.optim import get_ema_params
-
-            raw_acc1 = acc1
-            acc1, acc5, _ = trainer.validate(
-                state, val_loader, verbose=False,
-                params_override=get_ema_params(state.opt_state),
-            )
+        acc1, acc5, _ = trainer.validate(
+            state, val_loader,
+            params_override=recal_params if args.model_ema else None,
+        )
         is_best = acc1 > best_acc1
         best_acc1 = max(acc1, best_acc1)
         mgr.save(args.epochs, state, acc1, best_acc1, is_best=is_best)
         if jax.process_index() == 0:
-            print(f"bn-recalibrated: acc1={acc1:.3f} acc5={acc5:.3f} "
+            print(f"bn-recalibrated: acc1={acc1:.3f}{ema_note} "
+                  f"acc5={acc5:.3f} "
                   f"best={best_acc1:.3f}{' *' if is_best else ''}",
                   flush=True)
     # Shared shutdown for BOTH the normal end and the preemption break:
