@@ -63,17 +63,54 @@ TPU_STEP_OPTIONS: dict[str, dict[str, str]] = {
     },
 }
 
+# The infer set was tuned at bs128 and is NOT free across the batch range:
+# LATENCY_XLAOPT_BASE/OPT_r04.json measured bs1 +40% (0.136→0.081 ms —
+# the 64 MiB scoped budget fits the whole single-image live set), bs2 flat,
+# but bs4 −10%, bs8 −17%, bs16 −29% (the bs128 tiling mis-sizes mid-batch
+# fusions). Round 4 attached the set unconditionally to every eval/predict
+# jit, so run_validation/serving at mid batch paid the regression (VERDICT
+# r4 weak #4). The routing below ships the set ONLY where it measured
+# ≥ bare: bs1 (r04 A/B) and bs128 (r04 sweep + two lotteries). bs 17–127
+# had no r4 measurement; the r05 small-batch sweep (tools/latency_xlaopt.py)
+# pins the upper crossover and widens these ranges from data.
+INFER_OPTIONS_BATCH_RANGES: tuple[tuple[int, int], ...] = (
+    (1, 1),        # measured +40% (LATENCY_XLAOPT_*_r04.json)
+    (128, 1 << 30),  # measured +7–11% at bs128; larger keeps the
+                     # throughput-tuned set (scoped VMEM only ever binds
+                     # tighter as the live set grows — and bs>128 serving
+                     # should shard to ≤128 per chip anyway, BASELINE.md
+                     # "the bs256 cliff")
+)
+
+
+def infer_options_for_batch(batch_size: int) -> dict[str, str] | None:
+    """The measured-safe infer option set for a concrete batch size: the
+    bs128-tuned ``TPU_STEP_OPTIONS['infer']`` inside the ranges where it
+    measured ≥ bare, ``None`` (bare compile) elsewhere. Pure table lookup —
+    backend/env resolution lives in :func:`default_compiler_options`."""
+    for lo, hi in INFER_OPTIONS_BATCH_RANGES:
+        if lo <= batch_size <= hi:
+            return dict(TPU_STEP_OPTIONS["infer"])
+    return None
+
+
 _ENV_KEY = "MNASNET_TPU_XLA_OPTIONS"
 
 
-def default_compiler_options(mode: str = "train") -> dict[str, str] | None:
+def default_compiler_options(
+    mode: str = "train", batch_size: int | None = None
+) -> dict[str, str] | None:
     """Compile options for the production steps on this backend.
 
     ``mode`` is 'train' (train/grad steps) or 'infer' (eval/predict
-    graphs). Resolution order: ``MNASNET_TPU_XLA_OPTIONS`` env
+    graphs). For infer, pass the concrete ``batch_size`` when known: the
+    tuned set is batch-routed (:func:`infer_options_for_batch`) because it
+    regresses mid-size batches (bs4–16, −10..−29% — module docstring);
+    ``batch_size=None`` keeps the bs128-tuned set (the large-batch
+    throughput default). Resolution order: ``MNASNET_TPU_XLA_OPTIONS`` env
     (``none``/``off`` → None, else a JSON dict used verbatim for BOTH
-    modes) → the tuned per-mode ``TPU_STEP_OPTIONS`` on TPU backends →
-    None elsewhere.
+    modes and every batch size) → the tuned per-mode/per-batch options on
+    TPU backends → None elsewhere.
     """
     if mode not in TPU_STEP_OPTIONS:
         raise ValueError(f"mode must be one of {sorted(TPU_STEP_OPTIONS)}")
@@ -86,6 +123,48 @@ def default_compiler_options(mode: str = "train") -> dict[str, str] | None:
     import jax
 
     if jax.default_backend() in ("tpu", "axon"):
+        if mode == "infer" and batch_size is not None:
+            return infer_options_for_batch(batch_size)
         opts = TPU_STEP_OPTIONS[mode]
         return dict(opts) if opts else None
     return None
+
+
+class BatchRoutedJit:
+    """A jit wrapper whose compile options follow the input batch size.
+
+    ``jax.jit(compiler_options=...)`` fixes the options at wrapper creation,
+    but the production eval/predict jits are built before any batch is seen
+    (Trainer.__init__, make_jit_eval_step, serving load) and then serve
+    arbitrary batch sizes — run_validation at the val loader's size, serving
+    at whatever the request carries. This wrapper resolves the options per
+    call from the batch argument's leading dim and dispatches to one cached
+    ``jax.jit`` per distinct option set (so each input shape still compiles
+    exactly once, under the options measured safe for it).
+
+    ``options_for`` defaults to the production infer routing; tests inject
+    a recording fake.
+    """
+
+    def __init__(self, fn, *, batch_arg: int = 0, options_for=None,
+                 **jit_kwargs):
+        self._fn = fn
+        self._batch_arg = batch_arg
+        self._options_for = options_for or (
+            lambda bs: default_compiler_options("infer", batch_size=bs)
+        )
+        self._jit_kwargs = jit_kwargs
+        self._cache: dict = {}
+
+    def __call__(self, *args):
+        bs = int(args[self._batch_arg].shape[0])
+        opts = self._options_for(bs)
+        key = None if opts is None else tuple(sorted(opts.items()))
+        jf = self._cache.get(key)
+        if jf is None:
+            import jax
+
+            jf = jax.jit(self._fn, compiler_options=opts,
+                         **self._jit_kwargs)
+            self._cache[key] = jf
+        return jf(*args)

@@ -128,3 +128,48 @@ def test_export_rejects_wrong_shape(tmp_path):
     bad = np.zeros((3, IMG, IMG, 3), np.float32)  # batch 3 != exported 4
     with pytest.raises(ValueError):
         exported.call(bad)
+
+
+def test_load_serving_matches_live_and_routes_per_batch(tmp_path):
+    """mnasnet_tpu.serving.load_serving: the fleet-side loader — accepts a
+    path / bytes / Exported, serves every batch size of a symbolic-batch
+    artifact through the batch-routed jit, and reproduces the live forward
+    exactly (on CPU all routes resolve to bare compiles; the routing itself
+    is pinned in tests/test_xla_options.py)."""
+    from mnasnet_tpu.serving import load_serving
+
+    fn, x = export_serving.build_forward(
+        "mnasnet0_35", 8, "float32", None, IMG, batch_size=4, dw_impl="xla"
+    )
+    data = export_serving.export_artifact(fn, x, platforms=["cpu"],
+                                          symbolic_batch=True)
+    path = tmp_path / "m.shlo"
+    path.write_bytes(data)
+
+    rng = np.random.default_rng(0)
+    for source in (str(path), data, jax.export.deserialize(data)):
+        predict = load_serving(source)
+        for bs in (1, 4):
+            img = rng.standard_normal((bs, IMG, IMG, 3), dtype=np.float32)
+            got = np.asarray(predict(img))
+            want = np.asarray(fn(jnp.asarray(img)))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_load_serving_explicit_options_passthrough(tmp_path):
+    """compiler_options=None gives a plain jit of the call (the A/B
+    baseline route); a dict is attached verbatim (expert override) — on
+    CPU only an empty dict is compilable, which still exercises the
+    non-auto path."""
+    from mnasnet_tpu.serving import load_serving
+
+    fn, x = export_serving.build_forward(
+        "mnasnet0_35", 8, "float32", None, IMG, batch_size=2, dw_impl="xla"
+    )
+    data = export_serving.export_artifact(fn, x, platforms=["cpu"])
+    img = np.random.default_rng(1).standard_normal(
+        (2, IMG, IMG, 3), dtype=np.float32)
+    want = np.asarray(fn(jnp.asarray(img)))
+    for opts in (None, {}):
+        predict = load_serving(data, compiler_options=opts)
+        np.testing.assert_array_equal(np.asarray(predict(img)), want)
