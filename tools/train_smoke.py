@@ -82,6 +82,14 @@ class GratingDataset:
         return Image.fromarray(arr), label
 
 
+def _config_key(args) -> str:
+    """Run identity for --state-file safety: everything that changes the
+    trajectory (not the bookkeeping knobs)."""
+    skip = {"state_file", "chunk_epochs", "json", "workers"}
+    return json.dumps({k: v for k, v in sorted(vars(args).items())
+                       if k not in skip})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="mnasnet0_35")
@@ -127,6 +135,21 @@ def main():
                          "(--bn-momentum 0.9997, >=2k steps) where scoring "
                          "val+train each epoch would dominate wall clock; "
                          "the last epoch is always scored")
+    ap.add_argument("--state-file", default=None,
+                    help="chunked-resume state (pickle of the TrainState "
+                         "leaves + curve + wall offset), written after "
+                         "every eval point. The axon TPU client leaks host "
+                         "memory per device transfer (~20 MB/step at "
+                         "128px/bs128 — the r05 12k-step rehearsal's first "
+                         "attempt was OOM-killed at 130 GB RSS after 207 "
+                         "epochs, dmesg-confirmed), so multi-hour runs must "
+                         "be split across process generations; the leak "
+                         "dies with each process")
+    ap.add_argument("--chunk-epochs", type=int, default=0,
+                    help="with --state-file: exit with code 3 after this "
+                         "many epochs in THIS process (state saved); the "
+                         "caller relaunches until the run completes "
+                         "(while python ...; rc=3 loop)")
     ap.add_argument("--train-rescore-size", type=int, default=0,
                     help="cap the eval-mode train-set re-score to the first "
                          "N samples through the EVAL transform (0 = score "
@@ -248,6 +271,43 @@ def main():
 
     curve = []
     t0 = time.time()
+    start_epoch = 0
+    if args.state_file and os.path.exists(args.state_file):
+        import pickle
+
+        with open(args.state_file, "rb") as f:
+            saved = pickle.load(f)
+        assert saved["config_key"] == _config_key(args), (
+            "state file was written by a different run config:\n"
+            f"  saved: {saved['config_key']}\n  this:  {_config_key(args)}")
+        leaves = [jnp.asarray(a) for a in saved["leaves"]]
+        state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state), leaves)
+        curve = saved["curve"]
+        start_epoch = saved["next_epoch"]
+        t0 -= saved["wall_seconds"]  # cumulative wall across generations
+        print(f"[smoke] resumed at epoch {start_epoch} "
+              f"({saved['wall_seconds']:.0f}s accumulated)", flush=True)
+
+    def save_state(next_epoch: int) -> None:
+        if not args.state_file:
+            return
+        import pickle
+
+        import numpy as _np
+
+        payload = {
+            "config_key": _config_key(args),
+            "leaves": [_np.asarray(x) for x in
+                       jax.tree_util.tree_leaves(state)],
+            "curve": curve,
+            "next_epoch": next_epoch,
+            "wall_seconds": time.time() - t0,
+        }
+        tmp = args.state_file + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, args.state_file)
 
     def dump_artifact(recal_note: dict, completed: bool) -> dict:
         # Called after EVERY eval point, not just at the end: a long
@@ -301,8 +361,10 @@ def main():
         os.replace(tmp, args.json)
         return result
 
-    for epoch in range(args.epochs):
+    epochs_this_process = 0
+    for epoch in range(start_epoch, args.epochs):
         state = trainer.train_epoch(state, train_loader, epoch)
+        epochs_this_process += 1
         diag = {k: round(v, 4) for k, v in trainer.epoch_diag.items()}
         tstats = {k: round(v, 4) for k, v in trainer.epoch_train_stats.items()}
         if (epoch + 1) % args.eval_every and epoch != args.epochs - 1:
@@ -355,6 +417,12 @@ def main():
               f"gnorm={diag.get('max_grad_norm', 0):.2f} "
               f"({time.time()-t0:.0f}s)", flush=True)
         dump_artifact({}, completed=False)
+        save_state(epoch + 1)
+        if (args.chunk_epochs and epoch != args.epochs - 1
+                and epochs_this_process >= args.chunk_epochs):
+            print(f"[smoke] chunk boundary at epoch {epoch}: state saved, "
+                  f"exiting 3 for relaunch (host-leak reset)", flush=True)
+            sys.exit(3)
 
     recal_note = {}
     if args.bn_recalibrate:
