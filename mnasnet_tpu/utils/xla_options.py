@@ -64,7 +64,8 @@ TPU_STEP_OPTIONS: dict[str, dict[str, str]] = {
 }
 
 # The infer set was tuned at bs128 and is NOT free across the batch range:
-# LATENCY_XLAOPT_BASE/OPT_r04.json measured bs1 +40% (0.136→0.081 ms —
+# LATENCY_XLAOPT_BASE_r04.json / LATENCY_XLAOPT_OPT_r04.json measured bs1
+# +40% (0.136→0.081 ms —
 # the 64 MiB scoped budget fits the whole single-image live set), bs2 flat,
 # but bs4 −10%, bs8 −17%, bs16 −29% (the bs128 tiling mis-sizes mid-batch
 # fusions). Round 4 attached the set unconditionally to every eval/predict

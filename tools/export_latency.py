@@ -66,8 +66,10 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
+    from mnasnet_tpu.utils.backend_probe import apply_jax_platforms_env
     from mnasnet_tpu.utils.xla_options import default_compiler_options
 
+    apply_jax_platforms_env()  # docstring promises the CPU column works
     backend = jax.default_backend()
     img = args.image_size
     batches = [int(b) for b in args.batches.split(",")]

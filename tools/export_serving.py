@@ -157,6 +157,15 @@ def main(argv=None):
 
     import jax
 
+    from mnasnet_tpu.utils.backend_probe import apply_jax_platforms_env
+
+    # Export only TRACES the forward — no step ever runs on a chip — and
+    # jax.export lowers cross-platform (--platforms) regardless of the local
+    # backend. Honor JAX_PLATFORMS=cpu (the axon sitecustomize otherwise
+    # pins the TPU plugin) so a CPU host can cut TPU artifacts without
+    # grabbing, or queueing behind, the real chip.
+    apply_jax_platforms_env()
+
     weights = load_weights(args)
     fn, x = build_forward(
         args.arch, args.num_classes, args.dtype, weights,

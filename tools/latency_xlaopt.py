@@ -3,7 +3,8 @@
 #3; [B:configs[0]] single/small-batch serving).
 
 Round 4 measured the bs128-tuned infer set at bs 1–16 in two SEPARATE
-bench_latency runs (LATENCY_XLAOPT_BASE/OPT_r04.json): bs1 +40%, bs2 flat,
+bench_latency runs (LATENCY_XLAOPT_BASE_r04.json vs LATENCY_XLAOPT_OPT_r04.json):
+bs1 +40%, bs2 flat,
 bs4 −10%, bs8 −17%, bs16 −29% — and then shipped the set unconditionally
 anyway. This tool is the decision instrument for the batch ROUTING that
 replaced that (utils/xla_options.py INFER_OPTIONS_BATCH_RANGES):
