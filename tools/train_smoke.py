@@ -149,7 +149,12 @@ def main():
                     help="with --state-file: exit with code 3 after this "
                          "many epochs in THIS process (state saved); the "
                          "caller relaunches until the run completes "
-                         "(while python ...; rc=3 loop)")
+                         "(while python ...; rc=3 loop). Sleep ~20s "
+                         "between generations: relaunching within ~15s of "
+                         "the previous process's exit was observed (twice, "
+                         "r05) to wedge the fresh axon client in futex "
+                         "wait before it ever opened a relay connection — "
+                         "a teardown race; with the gap, resume is clean")
     ap.add_argument("--train-rescore-size", type=int, default=0,
                     help="cap the eval-mode train-set re-score to the first "
                          "N samples through the EVAL transform (0 = score "
@@ -346,6 +351,20 @@ def main():
             # eval column — exactly the red-labeled-green artifact class
             # round 3 flagged.)
             "reached_target_evalmode": final["val_top1"] >= args.target_top1,
+            # The production remedy's criterion: eval-mode score under EXACT
+            # recalibrated statistics (train/bn_recal.py — what train.py
+            # --bn-recalibrate deploys). The natural EMA column can plateau
+            # below target even after the init retention decays to nothing:
+            # the ~1/(1-decay)-step trailing window lags the slow activation-
+            # scale drift of late training (weight decay's contraction), a
+            # few-percent per-layer variance overestimate that compounds
+            # through every BN layer into exponential logit attenuation.
+            # tools/bn_forensics.py measures this from the saved state
+            # (between-batch share, EMA/pooled ratios, moment-swap controls)
+            # — BN_FORENSICS_r05.json; recalibration computes stats AT the
+            # current weights, so it has no lag by construction.
+            "reached_target_evalmode_recal": (
+                final.get("val_top1_recal", -1.0) >= args.target_top1),
             "reached_target": (
                 final["val_top1"] >= args.target_top1
                 if args.bn_momentum >= 0.999
